@@ -1,0 +1,75 @@
+"""JAX device backend vs host oracle: bit-exact agreement.
+
+The gate pipeline is deterministic given fixed keys and input ciphertexts, so
+backend equivalence is checked on full output ciphertexts (every `a`
+component and `b`), mirroring how the reference validates GPU-vs-CPU
+(examples/unittest.cpp, error-analysis.cpp) — except our comparison demands
+exact equality, not small-noise agreement."""
+
+import numpy as np
+import pytest
+
+from tfhe_tpu import BinFHEContext, Gate, ParamSet
+from tfhe_tpu import scheme
+from tfhe_tpu.ops.backend import JaxBackend
+from tfhe_tpu.ref.backend import RefBackend
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    cc = BinFHEContext(seed=31337)
+    cc.generate_binfhe_context(ParamSet.TOY)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    return cc, sk
+
+
+def test_gate_bit_exact_vs_oracle(ctx):
+    cc, sk = ctx
+    m1 = np.array([0, 1, 1, 0, 1])
+    m2 = np.array([1, 1, 0, 0, 1])
+    ct1 = cc.encrypt(sk, m1)
+    ct2 = cc.encrypt(sk, m2)
+
+    ref = scheme.eval_bin_gate(RefBackend(), cc.params, Gate.NAND, cc.bt_key, ct1, ct2)
+    dev = scheme.eval_bin_gate(JaxBackend(), cc.params, Gate.NAND, cc.bt_key, ct1, ct2)
+
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    np.testing.assert_array_equal(np.asarray(cc.decrypt(sk, dev), dtype=np.int64),
+                                  1 - (m1 & m2))
+
+
+def test_eval_acc_bit_exact(ctx):
+    """Blind rotation alone, on a random accumulator state."""
+    cc, sk = ctx
+    p = cc.params
+    rng = np.random.default_rng(7)
+    B = 3
+    acc = rng.integers(0, p.lwe.Q, (B, 2, p.lwe.N)).astype(np.uint64)
+    a = rng.integers(0, p.lwe.q, (B, p.lwe.n)).astype(np.uint64)
+
+    ref = RefBackend().eval_acc(p, cc.bt_key, acc.copy(), a, p.lwe.q)
+    dev = JaxBackend().eval_acc(p, cc.bt_key, acc.copy(), a, p.lwe.q)
+    np.testing.assert_array_equal(ref, dev)
+
+
+def test_context_device_setup_roundtrip(ctx):
+    cc, sk = ctx
+    cc.device_setup()
+    try:
+        out = cc.eval_bin_gate(Gate.AND, cc.encrypt(sk, 1), cc.encrypt(sk, 1))
+        assert int(cc.decrypt(sk, out)) == 1
+        boot = cc.bootstrap(cc.encrypt(sk, 0))
+        assert int(cc.decrypt(sk, boot)) == 0
+    finally:
+        cc.device_clean()
+
+
+def test_unsupported_params_raise():
+    cc = BinFHEContext(seed=1)
+    cc.generate_binfhe_context(ParamSet.TOY, arb_func=True, log_q=12)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    with pytest.raises(NotImplementedError):
+        cc.device_setup()
