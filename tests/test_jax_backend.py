@@ -67,9 +67,50 @@ def test_context_device_setup_roundtrip(ctx):
 
 
 def test_unsupported_params_raise():
+    from tfhe_tpu import Method
     cc = BinFHEContext(seed=1)
-    cc.generate_binfhe_context(ParamSet.TOY, arb_func=True, log_q=12)
+    cc.generate_binfhe_context(ParamSet.TOY, Method.AP)
     sk = cc.key_gen()
     cc.bt_key_gen(sk)
     with pytest.raises(NotImplementedError):
         cc.device_setup()
+
+
+@pytest.fixture(scope="module")
+def ctx54():
+    """Accelerated-style TOY with a 54-bit ring prime and qKS = 2^35."""
+    cc = BinFHEContext(seed=999)
+    cc.generate_binfhe_context(ParamSet.TOY, arb_func=True, log_q=12,
+                               num_digits_to_throw=1)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    return cc, sk
+
+
+def test_two_limb_func_bit_exact_vs_oracle(ctx54):
+    """54-bit path: EvalFunc on device == oracle, bit for bit."""
+    cc, sk = ctx54
+    p = cc.get_max_plaintext_space()
+    lut = cc.generate_lut_via_function(lambda m, p1: (m * m) % p1, p)
+    msgs = np.arange(4) % p
+    cts = cc.encrypt(sk, msgs, "FRESH", p)
+
+    ref = scheme.eval_func(RefBackend(), cc.params, cc.bt_key, cts, lut, cc.get_beta())
+    dev = scheme.eval_func(JaxBackend(), cc.params, cc.bt_key, cts, lut, cc.get_beta())
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    np.testing.assert_array_equal(np.asarray(cc.decrypt(sk, dev, p), dtype=np.int64),
+                                  (msgs * msgs) % p)
+
+
+def test_two_limb_gate_bit_exact(ctx54):
+    """54-bit path: full gate pipeline on device == oracle."""
+    cc, sk = ctx54
+    m1 = np.array([0, 1, 1, 0])
+    m2 = np.array([1, 1, 0, 0])
+    ct1 = cc.encrypt(sk, m1)
+    ct2 = cc.encrypt(sk, m2)
+    ref = scheme.eval_bin_gate(RefBackend(), cc.params, Gate.OR, cc.bt_key, ct1, ct2)
+    dev = scheme.eval_bin_gate(JaxBackend(), cc.params, Gate.OR, cc.bt_key, ct1, ct2)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))

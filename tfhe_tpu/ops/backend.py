@@ -8,10 +8,12 @@ multipliers, and the switching key is flattened to one gatherable table —
 exactly where the reference converts its key to the cuFFTDx layout and
 flattens `KSkey[N][baseKS][digitCount]`.
 
-Currently uint32-only (ring modulus Q and key-switching modulus qKS < 2^31),
-which covers every classic parameter set with modKS <= 2^30 and the
-accelerated logQ=11 gate configuration. The 54-bit two-limb path is tracked in
-ops/modmath64 (in progress); larger configs fall back to the host oracle.
+Two arithmetic paths, selected by modulus size:
+- single-limb uint32 (Q, qKS < 2^31): classic parameter sets and the
+  accelerated logQ=11 gate configuration;
+- two-limb uint32 pairs (54-bit ring primes, qKS = 2^35): the accelerated
+  functional-bootstrapping configurations (logQ 12..29).
+DM/AP and non-power-of-two qKS above 2^32 run on the host oracle.
 """
 
 from __future__ import annotations
@@ -25,28 +27,111 @@ from .. import lwe
 from ..params import BinFHEParams, Method
 from ..ref import ntt as ref_ntt
 from . import modmath32 as mm
+from . import modmath64 as mm64
 from .blindrotate32 import build_blind_rotate, transpose_extract
+from .blindrotate64 import build_blind_rotate64, transpose_extract64
 from .keyswitch32 import build_mkm_switch
+from .keyswitch64 import build_mkm_switch64
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def build_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int, throw: int,
+                        n: int, q_ks: int, base_ks: int, digit_count: int,
+                        fmod: int, add_q8: bool):
+    """Fused device graph: blind rotation -> transpose/extract -> fused
+    modswitch/keyswitch/modswitch. The accumulator batch never returns to the
+    host mid-pipeline (the reference pays a D2H+H2D between EvalAcc_CUDA and
+    MKMSwitch_CUDA, binfhe-base-scheme.cpp:659-675)."""
+    blind = build_blind_rotate(N, Q, base_g, digits_g_eff, throw, n)
+    mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = np.uint32(Q // 8 + 1)
+
+    @jax.jit
+    def pipe(acc, a_idx, bsk, bsk_sh, ksk_a, ksk_b):
+        acc = blind(acc, a_idx, bsk, bsk_sh)
+        a_t, b = transpose_extract(acc, Q)
+        if add_q8:
+            b = mm.addmod(b, q8, Q)
+        return mkm(a_t, b, ksk_a, ksk_b)
+
+    return pipe
+
+
+@functools.lru_cache(maxsize=None)
+def build_gate_pipeline64(N: int, Q: int, base_g: int, digits_g_eff: int, throw: int,
+                          n: int, q_ks: int, base_ks: int, digit_count: int,
+                          fmod: int, add_q8: bool):
+    """Two-limb fused pipeline for 54-bit ring primes (qKS = 2^35 class)."""
+    blind = build_blind_rotate64(N, Q, base_g, digits_g_eff, throw, n)
+    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = Q // 8 + 1
+    q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
+
+    @jax.jit
+    def pipe(acc_lo, acc_hi, a_idx, bsk_lo, bsk_hi, bsk_sh_lo, bsk_sh_hi,
+             ksk_a_lo, ksk_a_hi, ksk_b_lo, ksk_b_hi):
+        acc = blind(acc_lo, acc_hi, a_idx, bsk_lo, bsk_hi, bsk_sh_lo, bsk_sh_hi)
+        a_t, b = transpose_extract64(acc, Q)
+        if add_q8:
+            b = mm64.addmod64(b, q8p, Q)
+        return mkm(a_t[0], a_t[1], b[0], b[1],
+                   ksk_a_lo, ksk_a_hi, ksk_b_lo, ksk_b_hi)
+
+    return pipe
 
 
 class JaxBackend:
-    """Implements the `scheme.Backend` protocol on JAX devices."""
+    """Implements the `scheme.Backend` protocol on JAX devices.
 
-    def __init__(self, num_devices: int = 0):
+    With num_devices > 1 (or an explicit mesh), ciphertext batches are sharded
+    over a ('batch',) mesh and keys are replicated per device — the TPU
+    equivalent of the reference's multi-GPU round-robin with per-GPU key
+    copies (bootstrapping.cu:1616-1638)."""
+
+    def __init__(self, num_devices: int = 0, mesh=None):
         self.num_devices = num_devices
+        self.mesh = mesh
+        if mesh is None and num_devices > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(num_devices)
         self._device_keys: dict[int, dict] = {}
+
+    def _shard_batch(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import batch_sharding
+        return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
+
+    def _replicate(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import replicated
+        return jax.device_put(x, replicated(self.mesh))
 
     # -- setup -------------------------------------------------------------
 
+    @staticmethod
+    def _is_small(params: BinFHEParams) -> bool:
+        return params.lwe.Q < (1 << 31) and params.lwe.q_ks < (1 << 31)
+
     def supports(self, params: BinFHEParams) -> bool:
-        return (params.lwe.Q < (1 << 31) and params.lwe.q_ks < (1 << 31)
-                and params.rgsw.method == Method.GINX)
+        if params.rgsw.method != Method.GINX:
+            return False
+        if self._is_small(params):
+            return True
+        p = params.lwe
+        # two-limb path: 54-bit primes with power-of-two qKS/baseKS
+        # (the accelerated constructor always uses qKS=2^35, baseKS=32)
+        return (p.Q < (1 << 54) and (1 << 32) < p.q_ks < (1 << 40)
+                and p.q_ks & (p.q_ks - 1) == 0 and p.base_ks & (p.base_ks - 1) == 0)
 
     def setup(self, params: BinFHEParams, key) -> None:
         if not self.supports(params):
             raise NotImplementedError(
-                "JaxBackend currently requires GINX with Q, qKS < 2^31 "
-                "(the two-limb 54-bit path is not wired up yet)")
+                "JaxBackend requires GINX with Q < 2^31 (single-limb) or a "
+                "54-bit prime with power-of-two qKS/baseKS (two-limb); "
+                "other configurations run on the host oracle backend")
         self._get_device_key(params, key)
 
     def _get_device_key(self, params: BinFHEParams, key) -> dict:
@@ -57,24 +142,42 @@ class JaxBackend:
         Q = p.Q
         # evaluation-domain BSkey + Shoup companions (host, vectorized NTT)
         bsk_hat = ref_ntt.forward(np.asarray(key.bsk_coeff, dtype=np.uint64), Q)
-        dk = {
-            "bsk": jnp.asarray(bsk_hat.astype(np.uint32)),
-            "bsk_sh": jnp.asarray(mm.shoup(bsk_hat, Q)),
-            "ksk_a": jnp.asarray(
-                np.asarray(key.ksk.A, dtype=np.uint64).astype(np.uint32).reshape(-1, p.n)),
-            "ksk_b": jnp.asarray(
-                np.asarray(key.ksk.B, dtype=np.uint64).astype(np.uint32).reshape(-1)),
-        }
+        if self._is_small(params):
+            dk = {
+                "small": True,
+                "bsk": self._replicate(bsk_hat.astype(np.uint32)),
+                "bsk_sh": self._replicate(mm.shoup(bsk_hat, Q)),
+                "ksk_a": self._replicate(
+                    np.asarray(key.ksk.A, dtype=np.uint64).astype(np.uint32).reshape(-1, p.n)),
+                "ksk_b": self._replicate(
+                    np.asarray(key.ksk.B, dtype=np.uint64).astype(np.uint32).reshape(-1)),
+            }
+        else:
+            b_lo, b_hi = mm64.pack_host(bsk_hat)
+            s_lo, s_hi = mm64.shoup64(bsk_hat, Q)
+            ka = np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n)
+            kb = np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1)
+            dk = {
+                "small": False,
+                "bsk_lo": self._replicate(b_lo), "bsk_hi": self._replicate(b_hi),
+                "bsk_sh_lo": self._replicate(s_lo), "bsk_sh_hi": self._replicate(s_hi),
+                "ksk_a_lo": self._replicate((ka & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                "ksk_a_hi": self._replicate((ka >> np.uint64(32)).astype(np.uint8)),
+                "ksk_b_lo": self._replicate((kb & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                "ksk_b_hi": self._replicate((kb >> np.uint64(32)).astype(np.uint8)),
+            }
         self._device_keys[cache_id] = dk
         return dk
 
     # -- protocol ----------------------------------------------------------
 
-    @staticmethod
-    def _bucket(B: int) -> int:
+    def _bucket(self, B: int) -> int:
         """Pad batch sizes to powers of two so jit compiles are reused (the
-        blind-rotation graph costs minutes to compile)."""
+        blind-rotation graph costs minutes to compile); also keeps the batch
+        divisible by any power-of-two mesh."""
         b = 8
+        if self.mesh is not None:
+            b = max(b, self.mesh.size)
         while b < B:
             b *= 2
         return b
@@ -84,31 +187,88 @@ class JaxBackend:
         dk = self._get_device_key(params, key)
         rg = params.rgsw
         N, Q = rg.N, rg.Q
-        fn = build_blind_rotate(N, Q, rg.base_g,
-                                rg.digits_g - rg.num_digits_to_throw,
-                                rg.num_digits_to_throw, params.lwe.n)
         B = acc_init.shape[0]
         Bp = self._bucket(B)
-        acc = np.zeros((Bp, 2, N), dtype=np.uint32)
-        acc[:B] = np.asarray(acc_init, dtype=np.uint64).astype(np.uint32)
+        acc = np.zeros((Bp, 2, N), dtype=np.uint64)
+        acc[:B] = np.asarray(acc_init, dtype=np.uint64)
         a_idx = np.zeros((Bp, params.lwe.n), dtype=np.int32)
         a_idx[:B] = self._scaled_indices(a_batch, a_modulus, N)
-        out = fn(jnp.asarray(acc), jnp.asarray(a_idx), dk["bsk"], dk["bsk_sh"])
-        return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
+        if dk["small"]:
+            fn = build_blind_rotate(N, Q, rg.base_g,
+                                    rg.digits_g - rg.num_digits_to_throw,
+                                    rg.num_digits_to_throw, params.lwe.n)
+            out = fn(self._shard_batch(acc.astype(np.uint32)),
+                     self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
+            return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
+        fn = build_blind_rotate64(N, Q, rg.base_g,
+                                  rg.digits_g - rg.num_digits_to_throw,
+                                  rg.num_digits_to_throw, params.lwe.n)
+        lo, hi = mm64.pack_host(acc)
+        out_lo, out_hi = fn(self._shard_batch(lo), self._shard_batch(hi),
+                            self._shard_batch(a_idx),
+                            dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"])
+        return mm64.unpack_host(np.asarray(jax.device_get(out_lo)),
+                                np.asarray(jax.device_get(out_hi)))[:B]
 
     def mkm_switch(self, params: BinFHEParams, key, a_ext: np.ndarray,
                    b_ext: np.ndarray, fmod: int) -> lwe.LWECiphertext:
         dk = self._get_device_key(params, key)
         p = params.lwe
-        fn = build_mkm_switch(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
-                              p.n, int(fmod))
         B = a_ext.shape[0]
         Bp = self._bucket(B)
-        a_pad = np.zeros((Bp, p.N), dtype=np.uint32)
-        a_pad[:B] = np.asarray(a_ext, dtype=np.uint64).astype(np.uint32)
-        b_pad = np.zeros((Bp,), dtype=np.uint32)
-        b_pad[:B] = np.asarray(b_ext, dtype=np.uint64).astype(np.uint32)
-        a_out, b_out = fn(jnp.asarray(a_pad), jnp.asarray(b_pad), dk["ksk_a"], dk["ksk_b"])
+        a_pad = np.zeros((Bp, p.N), dtype=np.uint64)
+        a_pad[:B] = np.asarray(a_ext, dtype=np.uint64)
+        b_pad = np.zeros((Bp,), dtype=np.uint64)
+        b_pad[:B] = np.asarray(b_ext, dtype=np.uint64)
+        if dk["small"]:
+            fn = build_mkm_switch(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                                  p.n, int(fmod))
+            a_out, b_out = fn(self._shard_batch(a_pad.astype(np.uint32)),
+                              self._shard_batch(b_pad.astype(np.uint32)),
+                              dk["ksk_a"], dk["ksk_b"])
+        else:
+            fn = build_mkm_switch64(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                                    p.n, int(fmod))
+            alo, ahi = mm64.pack_host(a_pad)
+            blo, bhi = mm64.pack_host(b_pad)
+            a_out, b_out = fn(self._shard_batch(alo), self._shard_batch(ahi),
+                              self._shard_batch(blo), self._shard_batch(bhi),
+                              dk["ksk_a_lo"], dk["ksk_a_hi"],
+                              dk["ksk_b_lo"], dk["ksk_b_hi"])
+        return lwe.LWECiphertext(np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
+                                 np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
+                                 int(fmod))
+
+    def bootstrap_pipeline(self, params: BinFHEParams, key, acc_init: np.ndarray,
+                           a_batch: np.ndarray, a_modulus: int, fmod: int,
+                           add_q8: bool) -> lwe.LWECiphertext:
+        """Whole gate/functional bootstrap on device in one jit."""
+        dk = self._get_device_key(params, key)
+        p, rg = params.lwe, params.rgsw
+        B = acc_init.shape[0]
+        Bp = self._bucket(B)
+        acc = np.zeros((Bp, 2, rg.N), dtype=np.uint64)
+        acc[:B] = np.asarray(acc_init, dtype=np.uint64)
+        a_idx = np.zeros((Bp, p.n), dtype=np.int32)
+        a_idx[:B] = self._scaled_indices(a_batch, a_modulus, rg.N)
+        if dk["small"]:
+            fn = build_gate_pipeline(rg.N, rg.Q, rg.base_g,
+                                     rg.digits_g - rg.num_digits_to_throw,
+                                     rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
+                                     p.digit_count_ks, int(fmod), bool(add_q8))
+            a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
+                              self._shard_batch(a_idx),
+                              dk["bsk"], dk["bsk_sh"], dk["ksk_a"], dk["ksk_b"])
+        else:
+            fn = build_gate_pipeline64(rg.N, rg.Q, rg.base_g,
+                                       rg.digits_g - rg.num_digits_to_throw,
+                                       rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
+                                       p.digit_count_ks, int(fmod), bool(add_q8))
+            lo, hi = mm64.pack_host(acc)
+            a_out, b_out = fn(self._shard_batch(lo), self._shard_batch(hi),
+                              self._shard_batch(a_idx),
+                              dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"],
+                              dk["ksk_a_lo"], dk["ksk_a_hi"], dk["ksk_b_lo"], dk["ksk_b_hi"])
         return lwe.LWECiphertext(np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
                                  np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
                                  int(fmod))

@@ -14,6 +14,8 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 
 from . import modmath32 as mm
@@ -26,15 +28,15 @@ def _decompose(acc, Q: int, base_g: int, digits_g: int, throw: int):
     acc: uint32 [B, 2, N] residues mod Q -> uint32 [B, 2*digits_g, N] digit
     residues; digit l of poly j lands at row j + 2l."""
     half_q = Q >> 1
-    d = jnp.where(acc < jnp.uint32(half_q), acc.astype(jnp.int32),
-                  (acc.astype(jnp.int32) - jnp.int32(Q)))
+    d = jnp.where(acc < np.uint32(half_q), acc.astype(jnp.int32),
+                  (acc.astype(jnp.int32) - np.int32(Q)))
     g_bits = base_g.bit_length() - 1
-    mask = jnp.int32(base_g - 1)
-    half = jnp.int32(base_g >> 1)
+    mask = np.int32(base_g - 1)
+    half = np.int32(base_g >> 1)
 
     def extract(d):
         r = d & mask
-        r = jnp.where(r >= half, r - jnp.int32(base_g), r)
+        r = jnp.where(r >= half, r - np.int32(base_g), r)
         return r, (d - r) >> g_bits
 
     for _ in range(throw):
@@ -46,7 +48,7 @@ def _decompose(acc, Q: int, base_g: int, digits_g: int, throw: int):
     # rows[l] is [B, 2, N]; interleave to [B, 2*digits_g, N] with row j+2l
     dig = jnp.stack(rows, axis=2)               # [B, 2, digits_g, N]
     dig = jnp.swapaxes(dig, 1, 2).reshape(acc.shape[0], 2 * digits_g, acc.shape[2])
-    return jnp.where(dig < 0, dig + jnp.int32(Q), dig).astype(jnp.uint32)
+    return jnp.where(dig < 0, dig + np.int32(Q), dig).astype(jnp.uint32)
 
 
 def _rotate_sub(c, m, Q: int):
@@ -55,9 +57,9 @@ def _rotate_sub(c, m, Q: int):
     N = c.shape[-1]
     k = jnp.arange(N, dtype=jnp.int32)
     shape = (c.shape[0],) + (1,) * (c.ndim - 2) + (N,)
-    idx2 = (k - m.reshape((c.shape[0],) + (1,) * (c.ndim - 1))) % jnp.int32(2 * N)
+    idx2 = (k - m.reshape((c.shape[0],) + (1,) * (c.ndim - 1))) % np.int32(2 * N)
     idx2 = idx2.reshape(shape)                   # [B, 1..., N]
-    src = jnp.take_along_axis(c, idx2 % jnp.int32(N), axis=-1)
+    src = jnp.take_along_axis(c, idx2 % np.int32(N), axis=-1)
     rot = jnp.where(idx2 < N, src, mm.negmod(src, Q))
     return mm.submod(rot, c, Q)
 
@@ -72,7 +74,7 @@ def build_blind_rotate(N: int, Q: int, base_g: int, digits_g_eff: int, throw: in
     (rgsw-acc-cggi.cpp:151-154)."""
     ntt = NTT32(N, Q)
     d2 = 2 * digits_g_eff
-    two_n = jnp.int32(2 * N)
+    two_n = np.int32(2 * N)
 
     def round_fn(r, state):
         acc, a_idx, bsk, bsk_sh = state

@@ -12,6 +12,8 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 
 from . import modmath32 as mm
@@ -48,13 +50,13 @@ def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
             pa = jnp.zeros((B, n), dtype=jnp.uint32)
             pb = jnp.zeros((B,), dtype=jnp.uint32)
             for j in range(digit_count):
-                a0 = (atmp % jnp.uint32(base_ks)).astype(jnp.int32)        # [B, C]
+                a0 = (atmp % np.uint32(base_ks)).astype(jnp.int32)        # [B, C]
                 flat = (i_idx[None, :] * base_ks + a0) * digit_count + j   # [B, C]
                 rows_a = jnp.take(ksk_a, flat, axis=0)                     # [B, C, n]
                 rows_b = jnp.take(ksk_b, flat, axis=0)                     # [B, C]
                 pa = mm.addmod(pa, mm.sum_mod(rows_a, 1, q_ks), q_ks)
                 pb = mm.addmod(pb, mm.sum_mod(rows_b, 1, q_ks), q_ks)
-                atmp = atmp // jnp.uint32(base_ks)
+                atmp = atmp // np.uint32(base_ks)
             return mm.addmod(a_acc, pa, q_ks), mm.addmod(b_acc, pb, q_ks)
 
         a_acc, b_acc = jax.lax.fori_loop(0, num_chunks, chunk_body, (a_acc, b_acc))

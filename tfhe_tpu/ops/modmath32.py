@@ -21,8 +21,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-_U16_MASK = jnp.uint32(0xFFFF)
-_S16 = jnp.uint32(16)
+# numpy scalars (not jnp): device-scalar constants would each cost a
+# device round-trip when embedded at trace time on remote backends
+_U16_MASK = np.uint32(0xFFFF)
+_S16 = np.uint32(16)
 
 
 def mulhi32(a, b):
@@ -40,18 +42,18 @@ def mulhi32(a, b):
 
 def addmod(a, b, Q: int):
     s = a + b
-    q = jnp.uint32(Q)
+    q = np.uint32(Q)
     return jnp.where(s >= q, s - q, s)
 
 
 def submod(a, b, Q: int):
-    q = jnp.uint32(Q)
+    q = np.uint32(Q)
     s = a + q - b
     return jnp.where(s >= q, s - q, s)
 
 
 def negmod(a, Q: int):
-    q = jnp.uint32(Q)
+    q = np.uint32(Q)
     return jnp.where(a == 0, a, q - a)
 
 
@@ -60,7 +62,7 @@ def mulmod_shoup(a, b, b_shoup, Q: int):
 
     Requires a, b < Q < 2^31. Single conditional correction (Shoup/Harvey).
     """
-    q = jnp.uint32(Q)
+    q = np.uint32(Q)
     t = mulhi32(a, b_shoup)
     r = a * b - t * q          # wrapping uint32 arithmetic; r in [0, 2Q)
     return jnp.where(r >= q, r - q, r)
@@ -74,12 +76,12 @@ def shoup(b: np.ndarray, Q: int) -> np.ndarray:
 def mod_u32(x, Q: int):
     """x mod Q for arbitrary uint32 x (exact; Q < 2^31)."""
     if Q & (Q - 1) == 0:
-        return x & jnp.uint32(Q - 1)
+        return x & np.uint32(Q - 1)
     s = Q.bit_length() - 1            # 2^s < Q < 2^(s+1) (Q not a power of two)
     M = (1 << (32 + s)) // Q          # < 2^32
-    t = mulhi32(x, jnp.uint32(M)) >> jnp.uint32(s)
-    r = x - t * jnp.uint32(Q)         # r in [0, 3Q)
-    q = jnp.uint32(Q)
+    t = mulhi32(x, np.uint32(M)) >> np.uint32(s)
+    r = x - t * np.uint32(Q)         # r in [0, 3Q)
+    q = np.uint32(Q)
     r = jnp.where(r >= q, r - q, r)
     return jnp.where(r >= q, r - q, r)
 
@@ -94,7 +96,7 @@ def barrett_mulmod(a, b, Q: int):
     hi = mulhi32(a, b)
     r32 = int((1 << 32) % Q)
     r32_sh = int((r32 << 32) // Q)
-    part = mulmod_shoup(mod_u32(hi, Q), jnp.uint32(r32), jnp.uint32(r32_sh), Q)
+    part = mulmod_shoup(mod_u32(hi, Q), np.uint32(r32), np.uint32(r32_sh), Q)
     return addmod(part, mod_u32(lo, Q), Q)
 
 
@@ -107,18 +109,18 @@ def round_q_Q(v, q: int, Q: int):
         return v
     F = (int(q) << 64) // int(Q)
     assert F < (1 << 64), "RoundqQ requires q <= Q"
-    f_hi = jnp.uint32((F >> 32) & 0xFFFFFFFF)
-    f_lo = jnp.uint32(F & 0xFFFFFFFF)
+    f_hi = np.uint32((F >> 32) & 0xFFFFFFFF)
+    f_lo = np.uint32(F & 0xFFFFFFFF)
     # v*F = (v*f_hi)<<32 + v*f_lo ; add 2^63 ; keep bits [64:96)
     h1 = mulhi32(v, f_hi)
     l1 = v * f_hi
     h2 = mulhi32(v, f_lo)
     mid = l1 + h2
     carry1 = (mid < l1).astype(jnp.uint32)
-    mid2 = mid + jnp.uint32(1 << 31)
+    mid2 = mid + np.uint32(1 << 31)
     carry2 = (mid2 < mid).astype(jnp.uint32)
     res = h1 + carry1 + carry2
-    qq = jnp.uint32(q)
+    qq = np.uint32(q)
     return jnp.where(res >= qq, res - qq, res)
 
 

@@ -32,13 +32,16 @@ class NTT32:
         self.N, self.Q = N, Q
         t = ref_ntt._tables(N, Q)
 
+        # NOTE: tables are kept as *host* numpy constants. Device (jnp) arrays
+        # here would be fetched back during MLIR constant embedding at trace
+        # time — prohibitively slow over remote-device tunnels.
         def dev(x):
-            return jnp.asarray(np.asarray(x, dtype=np.uint64).astype(np.uint32))
+            return np.asarray(x, dtype=np.uint64).astype(np.uint32)
 
         def dev_sh(x):
-            return jnp.asarray(mm.shoup(np.asarray(x, dtype=np.uint64), Q))
+            return mm.shoup(np.asarray(x, dtype=np.uint64), Q)
 
-        self.bitrev = jnp.asarray(t["bitrev"].astype(np.int32))
+        self.bitrev = t["bitrev"].astype(np.int32)
         self.twist = dev(t["twist"])
         self.twist_sh = dev_sh(t["twist"])
         self.untwist = dev(t["untwist"])

@@ -166,6 +166,20 @@ def bootstrap_gate_core(backend: Backend, params: BinFHEParams, gate: Gate,
     return backend.eval_acc(params, key, acc, ct.a, ct.modulus)
 
 
+def _core_bootstrap(backend: Backend, params: BinFHEParams, key: BTKey,
+                    m_poly: np.ndarray, ct: lwe.LWECiphertext, fmod: int,
+                    add_q8: bool) -> lwe.LWECiphertext:
+    """Accumulate + extract + switch, using the backend's fused on-device
+    pipeline when it has one (no host round trip between the blind rotation
+    and the key switch)."""
+    acc = _acc_init(m_poly)
+    if hasattr(backend, "bootstrap_pipeline"):
+        return backend.bootstrap_pipeline(params, key, acc, ct.a, ct.modulus,
+                                          fmod, add_q8)
+    acc = backend.eval_acc(params, key, acc, ct.a, ct.modulus)
+    return _extract_and_switch(backend, params, key, acc, fmod, add_q8)
+
+
 def _extract_and_switch(backend: Backend, params: BinFHEParams, key: BTKey,
                         acc: np.ndarray, fmod: int, add_q8: bool) -> lwe.LWECiphertext:
     """Transpose the a-polynomial, extract the constant term of b, then run the
@@ -205,8 +219,11 @@ def eval_bin_gate(backend: Backend, params: BinFHEParams, gate: Gate, key: BTKey
     else:
         lwe.add_eq(prep, ct2b)
 
-    acc = bootstrap_gate_core(backend, params, gate, key, prep)
-    out = _extract_and_switch(backend, params, key, acc, ct1b.modulus, add_q8=True)
+    if key is None:
+        raise RuntimeError("Bootstrapping keys have not been generated. "
+                           "Please call bt_key_gen before calling bootstrapping.")
+    m = _gate_test_poly(params, gate, prep.b, prep.modulus)
+    out = _core_bootstrap(backend, params, key, m, prep, ct1b.modulus, add_q8=True)
     return _unbatch(out, was_scalar)
 
 
@@ -217,8 +234,8 @@ def bootstrap(backend: Backend, params: BinFHEParams, key: BTKey,
     ctb, was_scalar = _as_batch(ct)
     prep = ctb.copy()
     lwe.add_const_eq(prep, ctb.modulus >> 2)
-    acc = bootstrap_gate_core(backend, params, Gate.AND, key, prep)
-    out = _extract_and_switch(backend, params, key, acc, ctb.modulus, add_q8=True)
+    m = _gate_test_poly(params, Gate.AND, prep.b, prep.modulus)
+    out = _core_bootstrap(backend, params, key, m, prep, ctb.modulus, add_q8=True)
     return _unbatch(out, was_scalar)
 
 
@@ -263,9 +280,7 @@ def bootstrap_func(backend: Backend, params: BinFHEParams, key: BTKey,
                            "Please call bt_key_gen before calling bootstrapping.")
     ctb, was_scalar = _as_batch(ct)
     m = _func_test_poly(params, ctb.b, ctb.modulus, fmod, f)
-    acc = _acc_init(m)
-    acc = backend.eval_acc(params, key, acc, ctb.a, ctb.modulus)
-    out = _extract_and_switch(backend, params, key, acc, fmod, add_q8=False)
+    out = _core_bootstrap(backend, params, key, m, ctb, fmod, add_q8=False)
     return _unbatch(out, was_scalar)
 
 
