@@ -203,3 +203,25 @@ class BinFHEContext:
 
     def use_backend(self, backend: scheme.Backend) -> None:
         self._backend = backend
+
+    # -- serialization (cereal analogue, utils/serial.h) ---------------------
+
+    def save(self, path: str) -> None:
+        """Serialize parameters + all bootstrapping keys to one .npz file."""
+        from .utils import serial
+        serial.save_context(path, self.params, self._bt_key, self._bt_key_map)
+
+    @classmethod
+    def load(cls, path: str, seed: int | None = None) -> "BinFHEContext":
+        """Recreate a context (params + keys) from `save` output; the analogue
+        of deserializing the cryptocontext + BTKeyLoad (binfhecontext.h:208-220,
+        321-334)."""
+        from .utils import serial
+        cc = cls(seed)
+        cc.params, keys = serial.load_context(path)
+        cc._bt_key_map = keys
+        if keys:
+            base = cc.params.rgsw.base_g
+            cc._bt_key = keys.get(base) or next(iter(keys.values()))
+        cc._time_optimization = cc.params.time_optimization
+        return cc

@@ -53,15 +53,26 @@ def _decompose(acc, Q: int, base_g: int, digits_g: int, throw: int):
 
 def _rotate_sub(c, m, Q: int):
     """(X^m - 1) * c for per-batch exponents m in [0, 2N): negacyclic rotation
-    minus identity. c: uint32 [B, ..., N], m: int32 [B]."""
+    minus identity. c: uint32 [B, ..., N], m: int32 [B].
+
+    Gather-free: m is bit-decomposed and each power-of-two rotation is a
+    *static* negacyclic roll (slice + concat, compiled to cheap copies)
+    selected per batch element. Dynamic per-element gathers are ~10x the cost
+    of the entire NTT on TPU, so this formulation wins by a wide margin."""
     N = c.shape[-1]
-    k = jnp.arange(N, dtype=jnp.int32)
-    shape = (c.shape[0],) + (1,) * (c.ndim - 2) + (N,)
-    idx2 = (k - m.reshape((c.shape[0],) + (1,) * (c.ndim - 1))) % np.int32(2 * N)
-    idx2 = idx2.reshape(shape)                   # [B, 1..., N]
-    src = jnp.take_along_axis(c, idx2 % np.int32(N), axis=-1)
-    rot = jnp.where(idx2 < N, src, mm.negmod(src, Q))
-    return mm.submod(rot, c, Q)
+    logn = N.bit_length() - 1
+    bshape = (c.shape[0],) + (1,) * (c.ndim - 1)
+    out = c
+    for k in range(logn):
+        s = 1 << k
+        rolled = jnp.concatenate(
+            [mm.negmod(out[..., N - s:], Q), out[..., :N - s]], axis=-1)
+        bit = ((m >> k) & 1).astype(bool).reshape(bshape)
+        out = jnp.where(bit, rolled, out)
+    # the 2^logN bit: X^N = -1
+    bit_n = ((m >> logn) & 1).astype(bool).reshape(bshape)
+    out = jnp.where(bit_n, mm.negmod(out, Q), out)
+    return mm.submod(out, c, Q)
 
 
 @functools.lru_cache(maxsize=None)
@@ -82,9 +93,13 @@ def build_blind_rotate(N: int, Q: int, base_g: int, digits_g_eff: int, throw: in
         dct_hat = ntt.forward(dct)
         ek = jax.lax.dynamic_index_in_dim(bsk, r, 0, keepdims=False)      # [2, d2, 2, N]
         ek_sh = jax.lax.dynamic_index_in_dim(bsk_sh, r, 0, keepdims=False)
-        prod = mm.mulmod_shoup(dct_hat[:, None, :, None, :], ek[None], ek_sh[None], Q)
-        u = mm.sum_mod(prod, 2, Q)                                   # [B, 2, 2, N]
-        c = ntt.inverse(u)
+        # accumulate the keyed inner product over gadget rows without
+        # materializing the [B, 2, d2, 2, N] product tensor (HBM traffic)
+        u = mm.mulmod_shoup(dct_hat[:, None, 0, None, :], ek[None, :, 0], ek_sh[None, :, 0], Q)
+        for l in range(1, d2):
+            u = mm.addmod(u, mm.mulmod_shoup(dct_hat[:, None, l, None, :],
+                                             ek[None, :, l], ek_sh[None, :, l], Q), Q)
+        c = ntt.inverse(u)                                           # [B, 2, 2, N]
         idx_pos = a_idx[:, r]
         idx_neg = (two_n - idx_pos) % two_n
         upd = mm.addmod(_rotate_sub(c[:, 0], idx_pos, Q),

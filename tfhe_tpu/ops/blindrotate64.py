@@ -73,19 +73,24 @@ def _decompose64(acc, Q: int, base_g: int, digits_g: int, throw: int):
 
 
 def _rotate_sub64(c, m, Q: int):
-    """(X^m - 1) * c for per-batch exponents m in [0, 2N); c pair of [B, j, N]."""
+    """(X^m - 1) * c for per-batch exponents m in [0, 2N); c pair of [B, j, N].
+
+    Gather-free bit-decomposed rotation (see ops/blindrotate32._rotate_sub)."""
     N = c[0].shape[-1]
-    B = c[0].shape[0]
-    k = jnp.arange(N, dtype=jnp.int32)
-    idx2 = (k - m.reshape((B,) + (1,) * (c[0].ndim - 1))) % np.int32(2 * N)
-    idx2 = idx2.reshape((B,) + (1,) * (c[0].ndim - 2) + (N,))
-    gather_idx = idx2 % np.int32(N)
-    src = (jnp.take_along_axis(c[0], gather_idx, axis=-1),
-           jnp.take_along_axis(c[1], gather_idx, axis=-1))
-    neg = mm64.negmod64(src, Q)
-    wrap = idx2 < N
-    rot = (jnp.where(wrap, src[0], neg[0]), jnp.where(wrap, src[1], neg[1]))
-    return mm64.submod64(rot, c, Q)
+    logn = N.bit_length() - 1
+    bshape = (c[0].shape[0],) + (1,) * (c[0].ndim - 1)
+    out = c
+    for k in range(logn):
+        s = 1 << k
+        neg_tail = mm64.negmod64((out[0][..., N - s:], out[1][..., N - s:]), Q)
+        rolled = (jnp.concatenate([neg_tail[0], out[0][..., :N - s]], axis=-1),
+                  jnp.concatenate([neg_tail[1], out[1][..., :N - s]], axis=-1))
+        bit = ((m >> k) & 1).astype(bool).reshape(bshape)
+        out = (jnp.where(bit, rolled[0], out[0]), jnp.where(bit, rolled[1], out[1]))
+    bit_n = ((m >> logn) & 1).astype(bool).reshape(bshape)
+    neg = mm64.negmod64(out, Q)
+    out = (jnp.where(bit_n, neg[0], out[0]), jnp.where(bit_n, neg[1], out[1]))
+    return mm64.submod64(out, c, Q)
 
 
 @functools.lru_cache(maxsize=None)
