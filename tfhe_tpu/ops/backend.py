@@ -32,7 +32,9 @@ from .blindrotate32 import build_blind_rotate, transpose_extract
 from .blindrotate64 import build_blind_rotate64, transpose_extract64
 from .keyswitch32 import build_mkm_switch
 from .keyswitch64 import build_mkm_switch64
+from .pallas_rotate import build_pallas_rotate, pack_bsk
 import functools
+import os
 
 
 @functools.lru_cache(maxsize=None)
@@ -50,6 +52,27 @@ def build_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int, throw: i
     @jax.jit
     def pipe(acc, a_idx, bsk, bsk_sh, ksk_a, ksk_b):
         acc = blind(acc, a_idx, bsk, bsk_sh)
+        a_t, b = transpose_extract(acc, Q)
+        if add_q8:
+            b = mm.addmod(b, q8, Q)
+        return mkm(a_t, b, ksk_a, ksk_b)
+
+    return pipe
+
+
+@functools.lru_cache(maxsize=None)
+def build_gate_pipeline_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
+                               throw: int, n: int, q_ks: int, base_ks: int,
+                               digit_count: int, fmod: int, add_q8: bool):
+    """Gate pipeline with the fused Pallas blind-rotation kernel
+    (ops/pallas_rotate.py) in place of the XLA-fused rotation."""
+    blind = build_pallas_rotate(N, Q, base_g, digits_g_eff, throw, n)
+    mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = np.uint32(Q // 8 + 1)
+
+    @jax.jit
+    def pipe(acc, a_idx, bsk_pack, ksk_a, ksk_b):
+        acc = blind(acc, a_idx, bsk_pack)
         a_t, b = transpose_extract(acc, Q)
         if add_q8:
             b = mm.addmod(b, q8, Q)
@@ -115,6 +138,24 @@ class JaxBackend:
     def _is_small(params: BinFHEParams) -> bool:
         return params.lwe.Q < (1 << 31) and params.lwe.q_ks < (1 << 31)
 
+    def _use_pallas(self, params: BinFHEParams) -> bool:
+        """Use the fused Pallas kernel when on a real TPU, single device,
+        single-limb modulus small enough for the lazy external product."""
+        env = os.environ.get("TFHE_TPU_PALLAS", "")
+        if env == "0":
+            return False
+        if self.mesh is not None:
+            return False
+        if not self._is_small(params):
+            return False
+        rg = params.rgsw
+        d2 = 2 * (rg.digits_g - rg.num_digits_to_throw)
+        fits = (rg.Q < (1 << 28) and (2 * rg.Q - 1) * d2 < (1 << 32)
+                and rg.N % 128 == 0)
+        if env == "1":
+            return fits
+        return fits and jax.default_backend() == "tpu"
+
     def supports(self, params: BinFHEParams) -> bool:
         if params.rgsw.method != Method.GINX:
             return False
@@ -143,10 +184,12 @@ class JaxBackend:
         # evaluation-domain BSkey + Shoup companions (host, vectorized NTT)
         bsk_hat = ref_ntt.forward(np.asarray(key.bsk_coeff, dtype=np.uint64), Q)
         if self._is_small(params):
+            use_pallas = self._use_pallas(params)
             dk = {
                 "small": True,
-                "bsk": self._replicate(bsk_hat.astype(np.uint32)),
-                "bsk_sh": self._replicate(mm.shoup(bsk_hat, Q)),
+                "bsk": None if use_pallas else self._replicate(bsk_hat.astype(np.uint32)),
+                "bsk_sh": None if use_pallas else self._replicate(mm.shoup(bsk_hat, Q)),
+                "bsk_pack": self._replicate(pack_bsk(bsk_hat, Q)) if use_pallas else None,
                 "ksk_a": self._replicate(
                     np.asarray(key.ksk.A, dtype=np.uint64).astype(np.uint32).reshape(-1, p.n)),
                 "ksk_b": self._replicate(
@@ -194,11 +237,17 @@ class JaxBackend:
         a_idx = np.zeros((Bp, params.lwe.n), dtype=np.int32)
         a_idx[:B] = self._scaled_indices(a_batch, a_modulus, N)
         if dk["small"]:
-            fn = build_blind_rotate(N, Q, rg.base_g,
-                                    rg.digits_g - rg.num_digits_to_throw,
-                                    rg.num_digits_to_throw, params.lwe.n)
-            out = fn(self._shard_batch(acc.astype(np.uint32)),
-                     self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
+            digits_eff = rg.digits_g - rg.num_digits_to_throw
+            if dk.get("bsk_pack") is not None:
+                fn = build_pallas_rotate(N, Q, rg.base_g, digits_eff,
+                                         rg.num_digits_to_throw, params.lwe.n)
+                out = fn(self._shard_batch(acc.astype(np.uint32)),
+                         self._shard_batch(a_idx), dk["bsk_pack"])
+            else:
+                fn = build_blind_rotate(N, Q, rg.base_g, digits_eff,
+                                        rg.num_digits_to_throw, params.lwe.n)
+                out = fn(self._shard_batch(acc.astype(np.uint32)),
+                         self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
             return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
         fn = build_blind_rotate64(N, Q, rg.base_g,
                                   rg.digits_g - rg.num_digits_to_throw,
@@ -252,13 +301,23 @@ class JaxBackend:
         a_idx = np.zeros((Bp, p.n), dtype=np.int32)
         a_idx[:B] = self._scaled_indices(a_batch, a_modulus, rg.N)
         if dk["small"]:
-            fn = build_gate_pipeline(rg.N, rg.Q, rg.base_g,
-                                     rg.digits_g - rg.num_digits_to_throw,
-                                     rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
-                                     p.digit_count_ks, int(fmod), bool(add_q8))
-            a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
-                              self._shard_batch(a_idx),
-                              dk["bsk"], dk["bsk_sh"], dk["ksk_a"], dk["ksk_b"])
+            digits_eff = rg.digits_g - rg.num_digits_to_throw
+            if dk.get("bsk_pack") is not None:
+                fn = build_gate_pipeline_pallas(
+                    rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
+                    p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod),
+                    bool(add_q8))
+                a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
+                                  self._shard_batch(a_idx),
+                                  dk["bsk_pack"], dk["ksk_a"], dk["ksk_b"])
+            else:
+                fn = build_gate_pipeline(rg.N, rg.Q, rg.base_g, digits_eff,
+                                         rg.num_digits_to_throw, p.n, p.q_ks,
+                                         p.base_ks, p.digit_count_ks, int(fmod),
+                                         bool(add_q8))
+                a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
+                                  self._shard_batch(a_idx),
+                                  dk["bsk"], dk["bsk_sh"], dk["ksk_a"], dk["ksk_b"])
         else:
             fn = build_gate_pipeline64(rg.N, rg.Q, rg.base_g,
                                        rg.digits_g - rg.num_digits_to_throw,
