@@ -65,7 +65,15 @@ def key_gen(rng: BinFHERng, size: int, modulus: int) -> LWEPrivateKey:
 
 
 def _inner_ternary(a: np.ndarray, s_signed: np.ndarray, mod: int) -> np.ndarray:
-    """<a, s> mod `mod` for ternary signed s — no 64x64 products needed."""
+    """<a, s> mod `mod` for ternary signed s — no 64x64 products needed.
+
+    Fast path: when every |partial sum| fits in the 53-bit f64 mantissa
+    (n * (mod-1) < 2^53, true for all LWE-level moduli up to 2^40 at n <= 2^12)
+    the inner product is an exact float64 BLAS matmul."""
+    n = a.shape[-1]
+    if n * (mod - 1) < (1 << 53):
+        acc = a.astype(np.float64) @ s_signed.astype(np.float64)
+        return np.uint64(acc.astype(np.int64) % np.int64(mod))
     acc = np.where(s_signed == 1, a.astype(np.int64), 0).sum(axis=-1)
     acc -= np.where(s_signed == -1, a.astype(np.int64), 0).sum(axis=-1)
     return np.uint64(acc % np.int64(mod))

@@ -30,7 +30,7 @@ from . import modmath32 as mm
 from . import modmath64 as mm64
 from .blindrotate32 import build_blind_rotate, transpose_extract
 from .blindrotate64 import build_blind_rotate64, transpose_extract64
-from .keyswitch32 import build_mkm_switch
+from .keyswitch32 import build_mkm_switch, pack_ksk
 from .keyswitch64 import build_mkm_switch64
 from .pallas_rotate import build_pallas_rotate, pack_bsk
 import functools
@@ -50,12 +50,12 @@ def build_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int, throw: i
     q8 = np.uint32(Q // 8 + 1)
 
     @jax.jit
-    def pipe(acc, a_idx, bsk, bsk_sh, ksk_a, ksk_b):
+    def pipe(acc, a_idx, bsk, bsk_sh, ksk_bf):
         acc = blind(acc, a_idx, bsk, bsk_sh)
         a_t, b = transpose_extract(acc, Q)
         if add_q8:
             b = mm.addmod(b, q8, Q)
-        return mkm(a_t, b, ksk_a, ksk_b)
+        return mkm(a_t, b, ksk_bf)
 
     return pipe
 
@@ -71,12 +71,12 @@ def build_gate_pipeline_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
     q8 = np.uint32(Q // 8 + 1)
 
     @jax.jit
-    def pipe(acc, a_idx, bsk_pack, ksk_a, ksk_b):
+    def pipe(acc, a_idx, bsk_pack, ksk_bf):
         acc = blind(acc, a_idx, bsk_pack)
         a_t, b = transpose_extract(acc, Q)
         if add_q8:
             b = mm.addmod(b, q8, Q)
-        return mkm(a_t, b, ksk_a, ksk_b)
+        return mkm(a_t, b, ksk_bf)
 
     return pipe
 
@@ -190,10 +190,9 @@ class JaxBackend:
                 "bsk": None if use_pallas else self._replicate(bsk_hat.astype(np.uint32)),
                 "bsk_sh": None if use_pallas else self._replicate(mm.shoup(bsk_hat, Q)),
                 "bsk_pack": self._replicate(pack_bsk(bsk_hat, Q)) if use_pallas else None,
-                "ksk_a": self._replicate(
-                    np.asarray(key.ksk.A, dtype=np.uint64).astype(np.uint32).reshape(-1, p.n)),
-                "ksk_b": self._replicate(
-                    np.asarray(key.ksk.B, dtype=np.uint64).astype(np.uint32).reshape(-1)),
+                "ksk_bf": self._replicate(pack_ksk(
+                    np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
+                    np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
             }
         else:
             b_lo, b_hi = mm64.pack_host(bsk_hat)
@@ -274,7 +273,7 @@ class JaxBackend:
                                   p.n, int(fmod))
             a_out, b_out = fn(self._shard_batch(a_pad.astype(np.uint32)),
                               self._shard_batch(b_pad.astype(np.uint32)),
-                              dk["ksk_a"], dk["ksk_b"])
+                              dk["ksk_bf"])
         else:
             fn = build_mkm_switch64(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
                                     p.n, int(fmod))
@@ -309,7 +308,7 @@ class JaxBackend:
                     bool(add_q8))
                 a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
                                   self._shard_batch(a_idx),
-                                  dk["bsk_pack"], dk["ksk_a"], dk["ksk_b"])
+                                  dk["bsk_pack"], dk["ksk_bf"])
             else:
                 fn = build_gate_pipeline(rg.N, rg.Q, rg.base_g, digits_eff,
                                          rg.num_digits_to_throw, p.n, p.q_ks,
@@ -317,7 +316,7 @@ class JaxBackend:
                                          bool(add_q8))
                 a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
                                   self._shard_batch(a_idx),
-                                  dk["bsk"], dk["bsk_sh"], dk["ksk_a"], dk["ksk_b"])
+                                  dk["bsk"], dk["bsk_sh"], dk["ksk_bf"])
         else:
             fn = build_gate_pipeline64(rg.N, rg.Q, rg.base_g,
                                        rg.digits_g - rg.num_digits_to_throw,

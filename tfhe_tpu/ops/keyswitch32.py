@@ -4,6 +4,20 @@ Device analogue of `MKMSwitchKernel` (bootstrapping.cu:73-118), which itself
 fuses `LWEEncryptionScheme::{ModSwitch,KeySwitch}` (lwe-pke.cpp:204-321):
 round the extracted mod-Q LWE ciphertext to qKS, subtract the base-baseKS
 digit rows of the switching key, then round to the output modulus fmod.
+
+TPU-native formulation: the key-switch "sum the (i, digit, j)-indexed rows of
+the switching key" is a *selection* — each ciphertext picks exactly one of the
+baseKS rows per (i, j). Row gathers from the ~0.5 GB key are HBM-bound
+(N*digitCount rows/ct), so instead the selection is expressed as a one-hot
+matrix multiply on the MXU:
+
+    out[B, :] = onehot[B, N*baseKS*dc] @ K[N*baseKS*dc, L*(n+1)]
+
+with the key split into L seven-bit limbs stored as bfloat16 (integers <= 127
+are exact in bf16; f32 accumulation of N*dc*127 <= 2^21 terms is exact), and
+the limbs recombined mod qKS with Shoup multiplications afterwards. One batch
+costs 2*B*R*L*(n+1) flops of pure matmul instead of B*N*dc row gathers.
+
 Requires Q, qKS < 2^31 (the two-limb path for qKS = 2^35 lives in
 keyswitch64)."""
 
@@ -18,50 +32,78 @@ import jax.numpy as jnp
 
 from . import modmath32 as mm
 
+_LIMB_BITS = 7
+
+
+def n_limbs(q_ks: int) -> int:
+    return (int(q_ks - 1).bit_length() + _LIMB_BITS - 1) // _LIMB_BITS
+
+
+def pack_ksk(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
+    """Flat switching key (A [R, n], B [R], uint64, row = (i*baseKS+v)*dc+j)
+    -> bfloat16 [R, L*(n+1)] of 7-bit limbs, limb-major columns."""
+    import ml_dtypes  # host-side bfloat16 (numpy has no native bf16)
+
+    A = np.asarray(ksk_a, dtype=np.uint64)
+    Bv = np.asarray(ksk_b, dtype=np.uint64).reshape(-1, 1)
+    K = np.concatenate([A, Bv], axis=1)                      # [R, n+1]
+    L = n_limbs(q_ks)
+    cols = []
+    for l in range(L):
+        cols.append(((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.float32))
+    packed = np.concatenate(cols, axis=1)                    # [R, L*(n+1)]
+    return packed.astype(ml_dtypes.bfloat16)                 # <= 127: exact
+
 
 @functools.lru_cache(maxsize=None)
 def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
-                     n: int, fmod: int, n_chunk: int = 64):
-    """Returns a jitted (a_ext [B,N] u32, b_ext [B] u32, ksk_a [N*baseKS*dc, n],
-    ksk_b [N*baseKS*dc]) -> (a [B,n] u32, b [B] u32) mod fmod."""
-
-    assert N % n_chunk == 0
+                     n: int, fmod: int):
+    """Returns a jitted (a_ext [B,N] u32, b_ext [B] u32,
+    ksk_bf [N*baseKS*dc, L*(n+1)] bf16) -> (a [B,n] u32, b [B] u32) mod fmod."""
+    L = n_limbs(q_ks)
+    assert N * digit_count * 127 < (1 << 24), "f32 accumulation would be inexact"
+    # limb weights 2^(7l) mod qKS with Shoup companions
+    w = np.array([pow(2, _LIMB_BITS * l, q_ks) for l in range(L)], dtype=np.uint64)
+    w_sh = mm.shoup(w, q_ks)
+    w = w.astype(np.uint32)
+    pow2 = base_ks & (base_ks - 1) == 0
+    ks_bits = base_ks.bit_length() - 1
 
     @jax.jit
-    def mkm(a_ext, b_ext, ksk_a, ksk_b):
+    def mkm(a_ext, b_ext, ksk_bf):
         B = a_ext.shape[0]
         # ModSwitch Q -> qKS (exact RoundqQ)
         a1 = mm.round_q_Q(a_ext, q_ks, Q)                     # [B, N]
         b1 = mm.round_q_Q(b_ext, q_ks, Q)                     # [B]
 
-        # KeySwitch: subtract sum over (i < N, j < digitCount) of key rows
-        # indexed by the j-th base-baseKS digit of a1[:, i].
-        a_acc = jnp.zeros((B, n), dtype=jnp.uint32)
-        b_acc = jnp.zeros((B,), dtype=jnp.uint32)
-        num_chunks = (N + n_chunk - 1) // n_chunk
-        base_i = jnp.arange(n_chunk, dtype=jnp.int32)
-
-        def chunk_body(ci, carry):
-            a_acc, b_acc = carry
-            start = ci * n_chunk
-            ai = jax.lax.dynamic_slice_in_dim(a1, start, n_chunk, axis=1)  # [B, C]
-            i_idx = (start + base_i)                                       # [C]
-            atmp = ai
-            pa = jnp.zeros((B, n), dtype=jnp.uint32)
-            pb = jnp.zeros((B,), dtype=jnp.uint32)
-            for j in range(digit_count):
-                a0 = (atmp % np.uint32(base_ks)).astype(jnp.int32)        # [B, C]
-                flat = (i_idx[None, :] * base_ks + a0) * digit_count + j   # [B, C]
-                rows_a = jnp.take(ksk_a, flat, axis=0)                     # [B, C, n]
-                rows_b = jnp.take(ksk_b, flat, axis=0)                     # [B, C]
-                pa = mm.addmod(pa, mm.sum_mod(rows_a, 1, q_ks), q_ks)
-                pb = mm.addmod(pb, mm.sum_mod(rows_b, 1, q_ks), q_ks)
+        # base-baseKS digits, [B, N, dc]
+        digs = []
+        atmp = a1
+        for _ in range(digit_count):
+            if pow2:
+                digs.append(atmp & np.uint32(base_ks - 1))
+                atmp = atmp >> np.uint32(ks_bits)
+            else:
+                digs.append(atmp % np.uint32(base_ks))
                 atmp = atmp // np.uint32(base_ks)
-            return mm.addmod(a_acc, pa, q_ks), mm.addmod(b_acc, pb, q_ks)
+        d = jnp.stack(digs, axis=-1)                          # [B, N, dc]
 
-        a_acc, b_acc = jax.lax.fori_loop(0, num_chunks, chunk_body, (a_acc, b_acc))
-        a2 = mm.submod(jnp.zeros((B, n), dtype=jnp.uint32), a_acc, q_ks)
-        b2 = mm.submod(b1, b_acc, q_ks)
+        # one-hot over the row index (i, v, j) and one MXU matmul
+        v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
+        oh = (d[:, :, None, :] == v_iota).astype(jnp.bfloat16)
+        oh = oh.reshape(B, N * base_ks * digit_count)
+        sums = jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+        sums = sums.astype(jnp.uint32).reshape(B, L, n + 1)   # exact integers
+
+        # recombine limbs mod qKS (lazy Shoup, single Barrett reduce)
+        acc = mm.mulmod_shoup(sums[:, 0], w[0], w_sh[0], q_ks)
+        for l in range(1, L):
+            t = mm.mulhi32(sums[:, l], w_sh[l])
+            acc = acc + sums[:, l] * w[l] - t * np.uint32(q_ks)
+        acc = mm.mod_u32(acc, q_ks)                           # [B, n+1]
+
+        a2 = mm.submod(jnp.zeros((B, n), dtype=jnp.uint32), acc[:, :n], q_ks)
+        b2 = mm.submod(b1, acc[:, n], q_ks)
 
         # ModSwitch qKS -> fmod
         return mm.round_q_Q(a2, fmod, q_ks), mm.round_q_Q(b2, fmod, q_ks)

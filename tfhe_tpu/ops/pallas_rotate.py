@@ -157,8 +157,9 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
                     bit_n, jnp.where(out == 0, out, np.uint32(Q) - out), out)
                 return mm.submod(out, c, Q)
 
-            def sub_body(off: int):
-                acc_sub = acc_out[:, off:off + bti]              # [2,bt,N]
+            def sub_body(sidx, carry):
+                off = pl.multiple_of(sidx * bti, bti)
+                acc_sub = acc_out[:, pl.ds(off, bti)]            # [2,bt,N]
                 d = jnp.where(acc_sub < half_q, acc_sub.astype(jnp.int32),
                               acc_sub.astype(jnp.int32) - np.int32(Q))
                 for _ in range(throw):
@@ -189,14 +190,14 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
                     u = t4 if u is None else u + t4
 
                 c = inv_ntt(mm.mod_u32(u, Q))                    # [4,bt,N]
-                idx_pos = a_ref[:, off:off + bti]                # [1,bt,1]
+                idx_pos = a_ref[:, pl.ds(off, bti)]              # [1,bt,1]
                 idx_neg = (np.int32(2 * N) - idx_pos) & two_n_mask
                 upd = mm.addmod(rot_sub(c[0:2], idx_pos),
                                 rot_sub(c[2:4], idx_neg), Q)
-                acc_out[:, off:off + bti] = mm.addmod(acc_sub, upd, Q)
+                acc_out[:, pl.ds(off, bti)] = mm.addmod(acc_sub, upd, Q)
+                return carry
 
-            for off in range(0, bT, bti):
-                sub_body(off)
+            jax.lax.fori_loop(0, bT // bti, sub_body, 0)
 
         return kernel
 

@@ -83,9 +83,21 @@ def _cyclic_ntt(x: np.ndarray, stages, bitrev, Q: int) -> np.ndarray:
     return x
 
 
+def _psi(N: int, Q: int) -> int:
+    t = _tables(N, Q)
+    return int(t["twist"][1]) if N > 1 else 1
+
+
 def forward(x: np.ndarray, Q: int) -> np.ndarray:
-    """Coefficient -> evaluation domain (negacyclic)."""
+    """Coefficient -> evaluation domain (negacyclic).
+
+    Routes through the native C++ OpenMP engine (tfhe_tpu/native) when
+    available — bit-exact with the numpy path below."""
     N = x.shape[-1]
+    from .. import native
+    y = np.array(x, dtype=np.uint64, copy=True, order="C")
+    if native.ntt_batch(y, Q, _psi(N, Q), inverse=False):
+        return y
     t = _tables(N, Q)
     tx = modmath.mul(np.asarray(x, dtype=np.uint64), t["twist"], Q)
     return _cyclic_ntt(tx, t["fwd_stages"], t["bitrev"], Q)
@@ -94,6 +106,10 @@ def forward(x: np.ndarray, Q: int) -> np.ndarray:
 def inverse(x: np.ndarray, Q: int) -> np.ndarray:
     """Evaluation -> coefficient domain (negacyclic)."""
     N = x.shape[-1]
+    from .. import native
+    y = np.array(x, dtype=np.uint64, copy=True, order="C")
+    if native.ntt_batch(y, Q, _psi(N, Q), inverse=True):
+        return y
     t = _tables(N, Q)
     y = _cyclic_ntt(np.asarray(x, dtype=np.uint64), t["inv_stages"], t["bitrev"], Q)
     return modmath.mul(y, t["untwist"], Q)
