@@ -49,6 +49,37 @@ def test_pallas_rotate_matches_jnp(throw):
     assert np.array_equal(want, got)
 
 
+@pytest.mark.parametrize("throw", [0, 1])
+def test_pallas_rotate64_matches_jnp(throw):
+    from tfhe_tpu.ops.blindrotate64 import build_blind_rotate64
+    from tfhe_tpu.ops import pallas_rotate64 as pr64
+    from tfhe_tpu.ops import modmath64 as mm64
+
+    N, n, B = 128, 5, 8
+    Q = ntt_prime(54, 2 * N)
+    base_g, digits = 1 << 20, 3
+    digits_eff = digits - throw
+    d2 = 2 * digits_eff
+    rng = np.random.default_rng(5)
+    acc = rng.integers(0, Q, (B, 2, N)).astype(np.uint64)
+    a_idx = rng.integers(0, 2 * N, (B, n)).astype(np.int32)
+    bsk_hat = ref_ntt.forward(
+        rng.integers(0, Q, (n, 2, d2, 2, N)).astype(np.uint64), Q)
+
+    alo, ahi = mm64.pack_host(acc)
+    blo, bhi = mm64.pack_host(bsk_hat)
+    slo, shi = mm64.shoup64(bsk_hat, Q)
+    fn = build_blind_rotate64(N, Q, base_g, digits_eff, throw, n)
+    want = fn(alo, ahi, a_idx, blo, bhi, slo, shi)
+    want = mm64.unpack_host(np.asarray(want[0]), np.asarray(want[1]))
+
+    pfn = pr64.build_pallas_rotate64(N, Q, base_g, digits_eff, throw, n,
+                                     BT=8, bt=4)
+    got = pfn(alo, ahi, a_idx, pr64.pack_bsk64(bsk_hat, Q))
+    got = mm64.unpack_host(np.asarray(got[0]), np.asarray(got[1]))
+    assert np.array_equal(want, got)
+
+
 def test_gate_e2e_pallas_backend(monkeypatch):
     """Full NAND truth table through the Pallas pipeline vs the host oracle."""
     monkeypatch.setenv("TFHE_TPU_PALLAS", "1")
@@ -76,5 +107,37 @@ def test_gate_e2e_pallas_backend(monkeypatch):
     dev_out = cc.eval_bin_gate(Gate.NAND, ct1, ct2)
 
     assert np.array_equal(np.asarray(cc.decrypt(sk, dev_out)), 1 - (m1 & m2))
+    assert np.array_equal(np.asarray(ref_out.a), np.asarray(dev_out.a))
+    assert np.array_equal(np.asarray(ref_out.b), np.asarray(dev_out.b))
+
+
+def test_gate_e2e_pallas_sharded(monkeypatch):
+    """Pallas pipeline under shard_map over a 4-device ('batch',) mesh."""
+    monkeypatch.setenv("TFHE_TPU_PALLAS", "1")
+    from tfhe_tpu import BinFHEContext, Gate
+    from tfhe_tpu.ops.backend import JaxBackend
+    from tfhe_tpu.parallel.mesh import make_mesh
+
+    cc = BinFHEContext(seed=12)
+    Q = ntt_prime(20, 512)
+    cc.generate_binfhe_context_custom(n=16, N=256, q=512, Q=Q, std=3.19,
+                                      base_ks=32, base_g=1 << 5, base_r=23)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+
+    rng = np.random.default_rng(0)
+    m1 = rng.integers(0, 2, 8)
+    m2 = rng.integers(0, 2, 8)
+    ct1 = cc.encrypt(sk, m1)
+    ct2 = cc.encrypt(sk, m2)
+    ref_out = cc.eval_bin_gate(Gate.AND, ct1, ct2)
+
+    backend = JaxBackend(mesh=make_mesh(4))
+    assert backend._use_pallas(cc.params)
+    cc.use_backend(backend)
+    backend.setup(cc.params, cc.bt_key)
+    dev_out = cc.eval_bin_gate(Gate.AND, ct1, ct2)
+
+    assert np.array_equal(np.asarray(cc.decrypt(sk, dev_out)), m1 & m2)
     assert np.array_equal(np.asarray(ref_out.a), np.asarray(dev_out.a))
     assert np.array_equal(np.asarray(ref_out.b), np.asarray(dev_out.b))

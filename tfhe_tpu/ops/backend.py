@@ -31,8 +31,9 @@ from . import modmath64 as mm64
 from .blindrotate32 import build_blind_rotate, transpose_extract
 from .blindrotate64 import build_blind_rotate64, transpose_extract64
 from .keyswitch32 import build_mkm_switch, pack_ksk
-from .keyswitch64 import build_mkm_switch64
+from .keyswitch64 import build_mkm_switch64, pack_ksk64
 from .pallas_rotate import build_pallas_rotate, pack_bsk
+from .pallas_rotate64 import build_pallas_rotate64, pack_bsk64
 import functools
 import os
 
@@ -92,14 +93,33 @@ def build_gate_pipeline64(N: int, Q: int, base_g: int, digits_g_eff: int, throw:
     q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
 
     @jax.jit
-    def pipe(acc_lo, acc_hi, a_idx, bsk_lo, bsk_hi, bsk_sh_lo, bsk_sh_hi,
-             ksk_a_lo, ksk_a_hi, ksk_b_lo, ksk_b_hi):
+    def pipe(acc_lo, acc_hi, a_idx, bsk_lo, bsk_hi, bsk_sh_lo, bsk_sh_hi, ksk_bf):
         acc = blind(acc_lo, acc_hi, a_idx, bsk_lo, bsk_hi, bsk_sh_lo, bsk_sh_hi)
         a_t, b = transpose_extract64(acc, Q)
         if add_q8:
             b = mm64.addmod64(b, q8p, Q)
-        return mkm(a_t[0], a_t[1], b[0], b[1],
-                   ksk_a_lo, ksk_a_hi, ksk_b_lo, ksk_b_hi)
+        return mkm(a_t[0], a_t[1], b[0], b[1], ksk_bf)
+
+    return pipe
+
+
+@functools.lru_cache(maxsize=None)
+def build_gate_pipeline64_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
+                                 throw: int, n: int, q_ks: int, base_ks: int,
+                                 digit_count: int, fmod: int, add_q8: bool):
+    """Two-limb pipeline with the fused Pallas rotation kernel."""
+    blind = build_pallas_rotate64(N, Q, base_g, digits_g_eff, throw, n)
+    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = Q // 8 + 1
+    q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
+
+    @jax.jit
+    def pipe(acc_lo, acc_hi, a_idx, bsk_sh_pack, ksk_bf):
+        acc = blind(acc_lo, acc_hi, a_idx, bsk_sh_pack)
+        a_t, b = transpose_extract64(acc, Q)
+        if add_q8:
+            b = mm64.addmod64(b, q8p, Q)
+        return mkm(a_t[0], a_t[1], b[0], b[1], ksk_bf)
 
     return pipe
 
@@ -120,6 +140,28 @@ class JaxBackend:
             self.mesh = make_mesh(num_devices)
         self._device_keys: dict[int, dict] = {}
 
+    def _shard_pallas(self, fn, n_batch_args: int, n_out: int = 1):
+        """Wrap a pallas-bearing pipeline for the ('batch',) mesh: XLA cannot
+        partition a custom call, so shard_map runs it per shard with the
+        first `n_batch_args` inputs batch-sharded and keys replicated — the
+        exact analogue of the reference's per-GPU replicated-key round-robin
+        (bootstrapping.cu:1616-1638)."""
+        if self.mesh is None:
+            return fn
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def spec(i):
+            return P("batch") if i < n_batch_args else P()
+
+        def wrapped(*args):
+            in_specs = tuple(spec(i) for i in range(len(args)))
+            out_specs = (P("batch"),) * n_out if n_out > 1 else P("batch")
+            return shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)(*args)
+
+        return wrapped
+
     def _shard_batch(self, x):
         if self.mesh is None:
             return jnp.asarray(x)
@@ -139,18 +181,29 @@ class JaxBackend:
         return params.lwe.Q < (1 << 31) and params.lwe.q_ks < (1 << 31)
 
     def _use_pallas(self, params: BinFHEParams) -> bool:
-        """Use the fused Pallas kernel when on a real TPU, single device,
-        single-limb modulus small enough for the lazy external product."""
+        """Use the fused Pallas kernel when on a real TPU (single device, or a
+        ('batch',) mesh via shard_map with replicated keys) and the
+        single-limb modulus is small enough for the lazy external product."""
         env = os.environ.get("TFHE_TPU_PALLAS", "")
         if env == "0":
-            return False
-        if self.mesh is not None:
             return False
         if not self._is_small(params):
             return False
         rg = params.rgsw
         d2 = 2 * (rg.digits_g - rg.num_digits_to_throw)
         fits = (rg.Q < (1 << 28) and (2 * rg.Q - 1) * d2 < (1 << 32)
+                and rg.N % 128 == 0)
+        if env == "1":
+            return fits
+        return fits and jax.default_backend() == "tpu"
+
+    def _use_pallas64(self, params: BinFHEParams) -> bool:
+        env = os.environ.get("TFHE_TPU_PALLAS", "")
+        if env == "0" or self._is_small(params):
+            return False
+        rg = params.rgsw
+        d2 = 2 * (rg.digits_g - rg.num_digits_to_throw)
+        fits = (rg.Q < (1 << 62) and 2 * rg.Q * d2 < (1 << 62)
                 and rg.N % 128 == 0)
         if env == "1":
             return fits
@@ -195,19 +248,22 @@ class JaxBackend:
                     np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
             }
         else:
-            b_lo, b_hi = mm64.pack_host(bsk_hat)
-            s_lo, s_hi = mm64.shoup64(bsk_hat, Q)
+            use_pallas = self._use_pallas64(params)
             ka = np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n)
             kb = np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1)
             dk = {
                 "small": False,
-                "bsk_lo": self._replicate(b_lo), "bsk_hi": self._replicate(b_hi),
-                "bsk_sh_lo": self._replicate(s_lo), "bsk_sh_hi": self._replicate(s_hi),
-                "ksk_a_lo": self._replicate((ka & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-                "ksk_a_hi": self._replicate((ka >> np.uint64(32)).astype(np.uint8)),
-                "ksk_b_lo": self._replicate((kb & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-                "ksk_b_hi": self._replicate((kb >> np.uint64(32)).astype(np.uint8)),
+                "ksk_bf": self._replicate(pack_ksk64(ka, kb, p.q_ks)),
             }
+            if use_pallas:
+                dk["bsk_sh_pack"] = self._replicate(pack_bsk64(bsk_hat, Q))
+            else:
+                b_lo, b_hi = mm64.pack_host(bsk_hat)
+                s_lo, s_hi = mm64.shoup64(bsk_hat, Q)
+                dk.update({
+                    "bsk_lo": self._replicate(b_lo), "bsk_hi": self._replicate(b_hi),
+                    "bsk_sh_lo": self._replicate(s_lo), "bsk_sh_hi": self._replicate(s_hi),
+                })
         self._device_keys[cache_id] = dk
         return dk
 
@@ -219,7 +275,7 @@ class JaxBackend:
         divisible by any power-of-two mesh."""
         b = 8
         if self.mesh is not None:
-            b = max(b, self.mesh.size)
+            b = 8 * self.mesh.size   # keep every shard tile-aligned (>= 8)
         while b < B:
             b *= 2
         return b
@@ -238,8 +294,10 @@ class JaxBackend:
         if dk["small"]:
             digits_eff = rg.digits_g - rg.num_digits_to_throw
             if dk.get("bsk_pack") is not None:
-                fn = build_pallas_rotate(N, Q, rg.base_g, digits_eff,
-                                         rg.num_digits_to_throw, params.lwe.n)
+                fn = self._shard_pallas(
+                    build_pallas_rotate(N, Q, rg.base_g, digits_eff,
+                                        rg.num_digits_to_throw, params.lwe.n),
+                    n_batch_args=2)
                 out = fn(self._shard_batch(acc.astype(np.uint32)),
                          self._shard_batch(a_idx), dk["bsk_pack"])
             else:
@@ -248,13 +306,21 @@ class JaxBackend:
                 out = fn(self._shard_batch(acc.astype(np.uint32)),
                          self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
             return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
-        fn = build_blind_rotate64(N, Q, rg.base_g,
-                                  rg.digits_g - rg.num_digits_to_throw,
-                                  rg.num_digits_to_throw, params.lwe.n)
+        digits_eff = rg.digits_g - rg.num_digits_to_throw
         lo, hi = mm64.pack_host(acc)
-        out_lo, out_hi = fn(self._shard_batch(lo), self._shard_batch(hi),
-                            self._shard_batch(a_idx),
-                            dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"])
+        if dk.get("bsk_sh_pack") is not None:
+            fn = self._shard_pallas(
+                build_pallas_rotate64(N, Q, rg.base_g, digits_eff,
+                                      rg.num_digits_to_throw, params.lwe.n),
+                n_batch_args=3, n_out=2)
+            out_lo, out_hi = fn(self._shard_batch(lo), self._shard_batch(hi),
+                                self._shard_batch(a_idx), dk["bsk_sh_pack"])
+        else:
+            fn = build_blind_rotate64(N, Q, rg.base_g, digits_eff,
+                                      rg.num_digits_to_throw, params.lwe.n)
+            out_lo, out_hi = fn(self._shard_batch(lo), self._shard_batch(hi),
+                                self._shard_batch(a_idx),
+                                dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"])
         return mm64.unpack_host(np.asarray(jax.device_get(out_lo)),
                                 np.asarray(jax.device_get(out_hi)))[:B]
 
@@ -281,8 +347,7 @@ class JaxBackend:
             blo, bhi = mm64.pack_host(b_pad)
             a_out, b_out = fn(self._shard_batch(alo), self._shard_batch(ahi),
                               self._shard_batch(blo), self._shard_batch(bhi),
-                              dk["ksk_a_lo"], dk["ksk_a_hi"],
-                              dk["ksk_b_lo"], dk["ksk_b_hi"])
+                              dk["ksk_bf"])
         return lwe.LWECiphertext(np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
                                  np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
                                  int(fmod))
@@ -302,10 +367,10 @@ class JaxBackend:
         if dk["small"]:
             digits_eff = rg.digits_g - rg.num_digits_to_throw
             if dk.get("bsk_pack") is not None:
-                fn = build_gate_pipeline_pallas(
+                fn = self._shard_pallas(build_gate_pipeline_pallas(
                     rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
                     p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod),
-                    bool(add_q8))
+                    bool(add_q8)), n_batch_args=2, n_out=2)
                 a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
                                   self._shard_batch(a_idx),
                                   dk["bsk_pack"], dk["ksk_bf"])
@@ -318,15 +383,24 @@ class JaxBackend:
                                   self._shard_batch(a_idx),
                                   dk["bsk"], dk["bsk_sh"], dk["ksk_bf"])
         else:
-            fn = build_gate_pipeline64(rg.N, rg.Q, rg.base_g,
-                                       rg.digits_g - rg.num_digits_to_throw,
-                                       rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
-                                       p.digit_count_ks, int(fmod), bool(add_q8))
+            digits_eff = rg.digits_g - rg.num_digits_to_throw
             lo, hi = mm64.pack_host(acc)
-            a_out, b_out = fn(self._shard_batch(lo), self._shard_batch(hi),
-                              self._shard_batch(a_idx),
-                              dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"],
-                              dk["ksk_a_lo"], dk["ksk_a_hi"], dk["ksk_b_lo"], dk["ksk_b_hi"])
+            if dk.get("bsk_sh_pack") is not None:
+                fn = self._shard_pallas(build_gate_pipeline64_pallas(
+                    rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
+                    p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod),
+                    bool(add_q8)), n_batch_args=3, n_out=2)
+                a_out, b_out = fn(self._shard_batch(lo), self._shard_batch(hi),
+                                  self._shard_batch(a_idx),
+                                  dk["bsk_sh_pack"], dk["ksk_bf"])
+            else:
+                fn = build_gate_pipeline64(rg.N, rg.Q, rg.base_g, digits_eff,
+                                           rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
+                                           p.digit_count_ks, int(fmod), bool(add_q8))
+                a_out, b_out = fn(self._shard_batch(lo), self._shard_batch(hi),
+                                  self._shard_batch(a_idx),
+                                  dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"],
+                                  dk["ksk_bf"])
         return lwe.LWECiphertext(np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
                                  np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
                                  int(fmod))

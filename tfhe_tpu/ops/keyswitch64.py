@@ -4,13 +4,16 @@
 Device analogue of `MKMSwitchKernel` (bootstrapping.cu:73-118) for the
 configurations the reference's GPU path actually uses: qKS and baseKS are
 powers of two there (qKS = 2^35, baseKS = 32; binfhecontext.cpp:99-103), which
-makes digit extraction pure shifts and the final reduction a mask. The
-switching key is stored as (lo: uint32, hi: uint8), 5 bytes/entry.
+makes digit extraction pure shifts and the final reduction a mask.
 
-Summation trick: the key rows are summed as three uint32 part-sums
-(low 16 bits, high 16 bits of lo, and hi) — with N*digitCount <= 2^16 rows the
-part-sums cannot overflow, so no per-row carry handling is needed; the parts
-are recombined into a 64-bit pair once at the end.
+The key-switch itself uses the same one-hot MXU formulation as keyswitch32:
+each ciphertext selects one of the baseKS rows per (i, j), so the row-sum is
+
+    sums[B, :] = onehot[B, N*baseKS*dc] @ K[N*baseKS*dc, L*(n+1)]
+
+with the 35-bit key entries split into L = 5 seven-bit limbs stored as
+bfloat16 (exact) and f32 accumulation (sums <= N*dc*127 < 2^22, exact). The
+limb sums are recombined into 64-bit pairs with shifts; mod qKS is a mask.
 """
 
 from __future__ import annotations
@@ -24,25 +27,42 @@ import jax.numpy as jnp
 
 from . import modmath64 as mm64
 
-_M16 = np.uint32(0xFFFF)
+_LIMB_BITS = 7
+
+
+def n_limbs64(q_ks: int) -> int:
+    return (int(q_ks - 1).bit_length() + _LIMB_BITS - 1) // _LIMB_BITS
+
+
+def pack_ksk64(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
+    """Flat switching key (A [R, n], B [R], uint64, row = (i*baseKS+v)*dc+j)
+    -> bfloat16 [R, L*(n+1)] of 7-bit limbs, limb-major columns."""
+    import ml_dtypes
+
+    A = np.asarray(ksk_a, dtype=np.uint64)
+    Bv = np.asarray(ksk_b, dtype=np.uint64).reshape(-1, 1)
+    K = np.concatenate([A, Bv], axis=1)
+    L = n_limbs64(q_ks)
+    cols = [((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.float32)
+            for l in range(L)]
+    return np.concatenate(cols, axis=1).astype(ml_dtypes.bfloat16)
 
 
 @functools.lru_cache(maxsize=None)
 def build_mkm_switch64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
-                       n: int, fmod: int, n_chunk: int = 64):
-    """Jitted (a_lo, a_hi [B,N], b_lo, b_hi [B], ksk_a_lo [R,n] u32,
-    ksk_a_hi [R,n] u8, ksk_b_lo [R] u32, ksk_b_hi [R] u8) -> (a [B,n] u32,
-    b [B] u32) mod fmod, with R = N*baseKS*digitCount."""
+                       n: int, fmod: int):
+    """Jitted (a_lo, a_hi [B,N], b_lo, b_hi [B],
+    ksk_bf [N*baseKS*dc, L*(n+1)] bf16) -> (a [B,n] u32, b [B] u32) mod fmod."""
     assert q_ks & (q_ks - 1) == 0, "64-bit key switch requires power-of-two qKS"
     assert base_ks & (base_ks - 1) == 0, "64-bit key switch requires power-of-two baseKS"
     assert fmod < (1 << 32)
-    assert N % n_chunk == 0
-    assert N * digit_count <= (1 << 16), "part-sum trick bound"
+    assert N * digit_count * 127 < (1 << 24), "f32 accumulation would be inexact"
     ks_bits = q_ks.bit_length() - 1
     b_bits = base_ks.bit_length() - 1
     hi_bits = ks_bits - 32
-    assert 0 < hi_bits <= 8
+    assert 0 < hi_bits <= 31
     hi_mask = np.uint32((1 << hi_bits) - 1)
+    L = n_limbs64(q_ks)
 
     def digit(a_pair, j):
         """j-th base-2^b_bits digit of a 64-bit pair (values < 2^ks_bits)."""
@@ -53,59 +73,40 @@ def build_mkm_switch64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int
             v = a_pair[1] >> np.uint32(sh - 32)
         else:
             v = (a_pair[0] >> np.uint32(sh)) | (a_pair[1] << np.uint32(32 - sh))
-        return (v & np.uint32(base_ks - 1)).astype(jnp.int32)
+        return v & np.uint32(base_ks - 1)
 
-    def parts_to_pair(s0, s1, s2):
-        """s0 + (s1 << 16) + (s2 << 32) as a 64-bit pair."""
-        p = (s0, jnp.zeros_like(s0))
-        p = mm64.add64(p, (s1 << np.uint32(16), s1 >> np.uint32(16)))
-        return mm64.add64(p, (jnp.zeros_like(s2), s2))
+    def shl_pair(x, s: int):
+        """u32 x << s as a 64-bit pair (s < 32)."""
+        if s == 0:
+            return x, jnp.zeros_like(x)
+        return x << np.uint32(s), x >> np.uint32(32 - s)
 
     @jax.jit
-    def mkm(a_lo, a_hi, b_lo, b_hi, ksk_a_lo, ksk_a_hi, ksk_b_lo, ksk_b_hi):
+    def mkm(a_lo, a_hi, b_lo, b_hi, ksk_bf):
         B = a_lo.shape[0]
         a1 = mm64.round_q_Q64((a_lo, a_hi), q_ks, Q)                  # pair [B, N]
         b1 = mm64.round_q_Q64((b_lo, b_hi), q_ks, Q)                  # pair [B]
 
-        zero_a = jnp.zeros((B, n), dtype=jnp.uint32)
-        zero_b = jnp.zeros((B,), dtype=jnp.uint32)
-        num_chunks = N // n_chunk
-        base_i = jnp.arange(n_chunk, dtype=jnp.int32)
+        # one-hot over (i, v, j) rows; layout matches flat = (i*baseKS+v)*dc+j
+        d = jnp.stack([digit(a1, j) for j in range(digit_count)], axis=-1)
+        v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
+        oh = (d[:, :, None, :] == v_iota).astype(jnp.bfloat16)
+        oh = oh.reshape(B, N * base_ks * digit_count)
+        sums = jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+        sums = sums.astype(jnp.uint32).reshape(B, L, n + 1)           # exact
 
-        def chunk_body(ci, carry):
-            (a0s, a1s, a2s, b0s, b1s, b2s) = carry
-            start = ci * n_chunk
-            ai = (jax.lax.dynamic_slice_in_dim(a1[0], start, n_chunk, axis=1),
-                  jax.lax.dynamic_slice_in_dim(a1[1], start, n_chunk, axis=1))
-            i_idx = start + base_i
-            for j in range(digit_count):
-                d = digit(ai, j)                                      # [B, C]
-                flat = (i_idx[None, :] * base_ks + d) * digit_count + j
-                rows_lo = jnp.take(ksk_a_lo, flat, axis=0)            # [B, C, n]
-                rows_hi = jnp.take(ksk_a_hi, flat, axis=0).astype(jnp.uint32)
-                a0s = a0s + jnp.sum(rows_lo & _M16, axis=1, dtype=jnp.uint32)
-                a1s = a1s + jnp.sum(rows_lo >> np.uint32(16), axis=1, dtype=jnp.uint32)
-                a2s = a2s + jnp.sum(rows_hi, axis=1, dtype=jnp.uint32)
-                rb_lo = jnp.take(ksk_b_lo, flat, axis=0)              # [B, C]
-                rb_hi = jnp.take(ksk_b_hi, flat, axis=0).astype(jnp.uint32)
-                b0s = b0s + jnp.sum(rb_lo & _M16, axis=1, dtype=jnp.uint32)
-                b1s = b1s + jnp.sum(rb_lo >> np.uint32(16), axis=1, dtype=jnp.uint32)
-                b2s = b2s + jnp.sum(rb_hi, axis=1, dtype=jnp.uint32)
-            return (a0s, a1s, a2s, b0s, b1s, b2s)
+        acc = shl_pair(sums[:, 0], 0)
+        for l in range(1, L):
+            acc = mm64.add64(acc, shl_pair(sums[:, l], _LIMB_BITS * l))
+        acc = (acc[0], acc[1] & hi_mask)                              # mod 2^ks_bits
 
-        init = (zero_a, zero_a, zero_a, zero_b, zero_b, zero_b)
-        (a0s, a1s, a2s, b0s, b1s, b2s) = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
+        def sub_mod_qks(pos, neg):
+            s = mm64.sub64(pos, neg)
+            return (s[0], s[1] & hi_mask)
 
-        acc_a = parts_to_pair(a0s, a1s, a2s)
-        acc_b = parts_to_pair(b0s, b1s, b2s)
-
-        def sub_mod_qks(pos, acc):
-            """(pos - acc) mod 2^ks_bits (wrapping pair subtract + mask)."""
-            d = mm64.sub64(pos, acc)
-            return (d[0], d[1] & hi_mask)
-
-        a2 = sub_mod_qks((jnp.zeros((B, n), jnp.uint32), jnp.zeros((B, n), jnp.uint32)), acc_a)
-        b2 = sub_mod_qks(b1, acc_b)
+        zero = (jnp.zeros((B, n), jnp.uint32), jnp.zeros((B, n), jnp.uint32))
+        a2 = sub_mod_qks(zero, (acc[0][:, :n], acc[1][:, :n]))
+        b2 = sub_mod_qks(b1, (acc[0][:, n], acc[1][:, n]))
 
         a3 = mm64.round_q_Q64(a2, fmod, q_ks)
         b3 = mm64.round_q_Q64(b2, fmod, q_ks)
