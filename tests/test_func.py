@@ -152,3 +152,24 @@ def test_lut_classification():
     assert check_input_function(neg, q) == 0
     assert check_input_function(per, q) == 1
     assert check_input_function(arb, q) == 2
+
+
+def test_eval_sign_time_optimization_on_device():
+    """Dynamic-baseG sign (UnitTestFunc.cpp EvalSignFuncTime) through the JAX
+    backend — the reference's GPUSetup rejects timeOptimization
+    (binfhecontext.cpp:352-354); here the multi-baseG key map runs on device."""
+    cc = BinFHEContext(seed=9)
+    cc.generate_binfhe_context(ParamSet.TOY, arb_func=False, log_q=17,
+                               time_optimization=True)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    assert len(cc.bt_key_map) >= 2
+    cc.device_setup()
+    Q_enc = 1 << 17
+    q = cc.params.lwe.q
+    factor = Q_enc // q
+    p = cc.get_max_plaintext_space()
+    for i in (0, 5):
+        ct = cc.encrypt(sk, p * factor // 2 + i - 3, "FRESH", p * factor, Q_enc)
+        out = cc.eval_sign(ct)
+        assert int(cc.decrypt(sk, out, 2)) == int(i >= 3), i

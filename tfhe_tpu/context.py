@@ -189,14 +189,21 @@ class BinFHEContext:
 
     def device_setup(self, num_devices: int = 0) -> None:
         """Move evaluation to the JAX/TPU backend (the analogue of GPUSetup,
-        binfhecontext.cpp:349-360). Requires bt_key_gen first."""
-        if self._time_optimization:
-            raise NotImplementedError("Time optimization is not supported on device")
+        binfhecontext.cpp:349-360). Requires bt_key_gen first.
+
+        Unlike the reference's GPUSetup (which rejects timeOptimization,
+        binfhecontext.cpp:352-354), the multi-baseG key map is supported on
+        device: keys are plain arrays, and each base's pipeline is set up
+        lazily on first use by EvalSign/EvalDecomp."""
         if self._bt_key is None:
             raise RuntimeError("Need to call bt_key_gen before calling device_setup")
         from .ops.backend import JaxBackend
         self._backend = JaxBackend(num_devices=num_devices)
-        self._backend.setup(self.params, self._bt_key)
+        temp = self.params.rgsw.base_g
+        for base, key in (self._bt_key_map or {temp: self._bt_key}).items():
+            self.params.rgsw.change_base_g(base)
+            self._backend.setup(self.params, key)
+        self.params.rgsw.change_base_g(temp)
 
     def device_clean(self) -> None:
         self._backend = RefBackend()

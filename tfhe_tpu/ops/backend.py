@@ -83,6 +83,53 @@ def build_gate_pipeline_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
 
 
 @functools.lru_cache(maxsize=None)
+def build_full_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
+                             throw: int, n: int, q_ks: int, base_ks: int,
+                             digit_count: int, fmod: int, q: int, q1: int):
+    """Whole gate bootstrap on device INCLUDING test-polynomial construction
+    (the batched BootstrapGateCore, binfhe-base-scheme.cpp:1087-1145, done
+    in-graph): inputs are just the prepped LWE batch (a [B,n], b [B]) — the
+    reference uploads a full accumulator per ciphertext instead."""
+    blind = build_pallas_rotate(N, Q, base_g, digits_g_eff, throw, n)
+    mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = np.uint32(Q // 8 + 1)
+    q8neg = np.uint32(Q - (Q // 8 + 1))
+    q_half = q >> 1
+    q2 = (q1 + q_half) % q
+    factor = (2 * N) // q
+    uq = np.uint32(q)
+
+    @jax.jit
+    def pipe(a, b, bsk_pack, ksk_bf):
+        B = a.shape[0]
+        # (q - a) * 2N/q mod 2N (rgsw-acc-cggi.cpp:151-154)
+        t = jnp.where(a == 0, a, uq - a)
+        a_idx = (t * np.uint32(factor)).astype(jnp.int32)
+        # test polynomial m[j*factor] = +-(Q/8+1) by window membership
+        j = jax.lax.broadcasted_iota(jnp.uint32, (1, q_half), 1)
+        temp = (b[:, None] + uq - j) % uq
+        if q1 < q2:
+            in_win = (temp >= np.uint32(q1)) & (temp < np.uint32(q2))
+        else:
+            in_win = ~((temp >= np.uint32(q2)) & (temp < np.uint32(q1)))
+        vals = jnp.where(in_win, q8neg, q8)                       # [B, q/2]
+        if factor > 1:
+            m = jnp.concatenate(
+                [vals[..., None],
+                 jnp.zeros((B, q_half, factor - 1), jnp.uint32)], axis=-1)
+            m = m.reshape(B, N)
+        else:
+            m = vals
+        acc = jnp.stack([jnp.zeros((B, N), jnp.uint32), m], axis=1)
+        acc = blind(acc, a_idx, bsk_pack)
+        a_t, bb = transpose_extract(acc, Q)
+        bb = mm.addmod(bb, q8, Q)
+        return mkm(a_t, bb, ksk_bf)
+
+    return pipe
+
+
+@functools.lru_cache(maxsize=None)
 def build_gate_pipeline64(N: int, Q: int, base_g: int, digits_g_eff: int, throw: int,
                           n: int, q_ks: int, base_ks: int, digit_count: int,
                           fmod: int, add_q8: bool):
@@ -351,6 +398,36 @@ class JaxBackend:
         return lwe.LWECiphertext(np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
                                  np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
                                  int(fmod))
+
+    def gate_bootstrap(self, params: BinFHEParams, key, gate, ct,
+                       fmod: int):
+        """Fully-fused gate bootstrap from the raw LWE batch (test polynomial
+        built on device). Returns None when this configuration must fall back
+        to the generic accumulator-upload path."""
+        dk = self._get_device_key(params, key)
+        if not dk["small"] or dk.get("bsk_pack") is None:
+            return None
+        p, rg = params.lwe, params.rgsw
+        q = int(ct.modulus)
+        if q != p.q or (2 * rg.N) % q != 0:
+            return None
+        q1 = int(rg.gate_const(gate)) % q
+        B = ct.a.shape[0]
+        Bp = self._bucket(B)
+        a_pad = np.zeros((Bp, p.n), dtype=np.uint32)
+        a_pad[:B] = np.asarray(ct.a, dtype=np.uint64).astype(np.uint32)
+        b_pad = np.zeros((Bp,), dtype=np.uint32)
+        b_pad[:B] = np.asarray(ct.b, dtype=np.uint64).astype(np.uint32)
+        digits_eff = rg.digits_g - rg.num_digits_to_throw
+        fn = self._shard_pallas(build_full_gate_pipeline(
+            rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
+            p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod), q, q1),
+            n_batch_args=2, n_out=2)
+        a_out, b_out = fn(self._shard_batch(a_pad), self._shard_batch(b_pad),
+                          dk["bsk_pack"], dk["ksk_bf"])
+        return lwe.LWECiphertext(
+            np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
+            np.asarray(jax.device_get(b_out))[:B].astype(np.uint64), int(fmod))
 
     def bootstrap_pipeline(self, params: BinFHEParams, key, acc_init: np.ndarray,
                            a_batch: np.ndarray, a_modulus: int, fmod: int,

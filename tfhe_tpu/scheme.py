@@ -222,6 +222,11 @@ def eval_bin_gate(backend: Backend, params: BinFHEParams, gate: Gate, key: BTKey
     if key is None:
         raise RuntimeError("Bootstrapping keys have not been generated. "
                            "Please call bt_key_gen before calling bootstrapping.")
+    gb = getattr(backend, "gate_bootstrap", None)
+    if gb is not None:
+        out = gb(params, key, gate, prep, ct1b.modulus)
+        if out is not None:
+            return _unbatch(out, was_scalar)
     m = _gate_test_poly(params, gate, prep.b, prep.modulus)
     out = _core_bootstrap(backend, params, key, m, prep, ct1b.modulus, add_q8=True)
     return _unbatch(out, was_scalar)
@@ -234,6 +239,11 @@ def bootstrap(backend: Backend, params: BinFHEParams, key: BTKey,
     ctb, was_scalar = _as_batch(ct)
     prep = ctb.copy()
     lwe.add_const_eq(prep, ctb.modulus >> 2)
+    gb = getattr(backend, "gate_bootstrap", None)
+    if gb is not None:
+        out = gb(params, key, Gate.AND, prep, ctb.modulus)
+        if out is not None:
+            return _unbatch(out, was_scalar)
     m = _gate_test_poly(params, Gate.AND, prep.b, prep.modulus)
     out = _core_bootstrap(backend, params, key, m, prep, ctb.modulus, add_q8=True)
     return _unbatch(out, was_scalar)
