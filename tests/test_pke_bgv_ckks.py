@@ -1,0 +1,80 @@
+"""BGV and CKKS scheme tests (pke module, utbgvrns/utckksrns analogues)."""
+
+import numpy as np
+import pytest
+
+from tfhe_tpu.pke.bgv import BGVContext, BGVParams
+from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+
+
+@pytest.fixture(scope="module")
+def bgv():
+    cc = BGVContext(BGVParams.create(N=256, t=257, mult_depth=1), seed=7)
+    sk, pk = cc.key_gen()
+    return cc, sk, pk
+
+
+def test_bgv_roundtrip_add(bgv):
+    cc, sk, pk = bgv
+    rng = np.random.default_rng(0)
+    t = cc.params.t
+    m1 = rng.integers(0, t, cc.params.N)
+    m2 = rng.integers(0, t, cc.params.N)
+    ct1, ct2 = cc.encrypt(pk, m1), cc.encrypt(pk, m2)
+    np.testing.assert_array_equal(cc.decrypt(sk, ct1), m1)
+    np.testing.assert_array_equal(cc.decrypt(sk, cc.eval_add(ct1, ct2)), (m1 + m2) % t)
+
+
+def test_bgv_mult_relin(bgv):
+    cc, sk, pk = bgv
+    rlk = cc.relin_key_gen(sk)
+    m1 = np.array([3, 0, 1])
+    m2 = np.array([5, 2, 0])
+    ct = cc.eval_mult(cc.encrypt(pk, m1), cc.encrypt(pk, m2), rlk)
+    assert len(ct.polys) == 2
+    dec = cc.decrypt(sk, ct)
+    # (3 + X^2)(5 + 2X) = 15 + 6X + 5X^2 + 2X^3
+    assert list(dec[:4]) == [15, 6, 5, 2]
+
+
+@pytest.fixture(scope="module")
+def ckks():
+    cc = CKKSContext(CKKSParams.create(N=256, mult_depth=1, scale_bits=36,
+                                       limb_bits=50), seed=8)
+    sk, pk = cc.key_gen()
+    return cc, sk, pk
+
+
+def test_ckks_encode_decode():
+    from tfhe_tpu.pke.ckks import encode, decode
+    p = CKKSParams.create(N=256, mult_depth=0, scale_bits=36, limb_bits=50)
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=p.slots) + 1j * rng.normal(size=p.slots)
+    coeffs = encode(p, z)
+    back = decode(p, [int(c) for c in coeffs], p.scale)
+    assert np.max(np.abs(back - z)) < 1e-6
+
+
+def test_ckks_encrypt_decrypt_add(ckks):
+    cc, sk, pk = ckks
+    rng = np.random.default_rng(2)
+    z1 = rng.normal(size=cc.params.slots)
+    z2 = rng.normal(size=cc.params.slots)
+    ct1, ct2 = cc.encrypt(pk, z1), cc.encrypt(pk, z2)
+    d1 = cc.decrypt(sk, ct1)
+    assert np.max(np.abs(d1 - z1)) < 1e-4
+    ds = cc.decrypt(sk, cc.eval_add(ct1, ct2))
+    assert np.max(np.abs(ds - (z1 + z2))) < 1e-4
+
+
+def test_ckks_mult_rescale(ckks):
+    cc, sk, pk = ckks
+    rlk = cc.relin_key_gen(sk)
+    rng = np.random.default_rng(3)
+    z1 = rng.normal(size=cc.params.slots)
+    z2 = rng.normal(size=cc.params.slots)
+    prod = cc.eval_mult(cc.encrypt(pk, z1), cc.encrypt(pk, z2), rlk)
+    assert len(prod.polys) == 2
+    assert prod.level_params.L == cc.params.dcrt.L - 1   # rescaled one level
+    d = cc.decrypt(sk, prod)
+    assert np.max(np.abs(d - z1 * z2)) < 1e-2

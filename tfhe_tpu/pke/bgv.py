@@ -1,0 +1,92 @@
+"""BGVrns: Brakerski-Gentry-Vaikuntanathan scheme over DCRT polynomials.
+
+Counterpart of the reference's `src/pke/lib/scheme/bgvrns`. BGV places the
+plaintext in the LOW bits (noise scaled by t) where BFV scales the message by
+Delta = Q/t; EvalMult is the exact tensor product (no rescale needed at small
+depth; modulus switching for deeper circuits arrives with the scheme's
+leveled API).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bfv import BFVParams, BFVCiphertext, BFVSecretKey, BFVPublicKey, \
+    BFVRelinKey, BFVContext, _negacyclic_bigint
+from .dcrt import DCRTPoly
+
+
+@dataclass(frozen=True)
+class BGVParams(BFVParams):
+    pass
+
+
+class BGVContext(BFVContext):
+    """CryptoContext analogue for BGV; shares sampling/keygen machinery with
+    BFV (the reference's scheme hierarchy does the same through
+    schemebase/base-scheme.cpp)."""
+
+    def key_gen(self):
+        s, s_signed = self._ternary()
+        a = self._uniform()
+        e = self._gaussian()
+        b = -(a * s + e.mul_scalar(self.params.t))
+        return BFVSecretKey(s, s_signed), BFVPublicKey(b, a)
+
+    def relin_key_gen(self, sk):
+        T = 1 << self.params.relin_window
+        n_digits = (self.params.Q.bit_length() + self.params.relin_window - 1) \
+            // self.params.relin_window
+        s2 = sk.s * sk.s
+        rlk = BFVRelinKey()
+        for d in range(n_digits):
+            a_d = self._uniform()
+            e_d = self._gaussian()
+            rlk.b.append(-(a_d * sk.s + e_d.mul_scalar(self.params.t))
+                         + s2.mul_scalar(pow(T, d, self.params.Q)))
+            rlk.a.append(a_d)
+        return rlk
+
+    def encrypt(self, pk, m) -> BFVCiphertext:
+        p = self.params
+        m_arr = np.zeros(p.N, dtype=np.int64)
+        m_in = np.asarray(m, dtype=np.int64)
+        m_arr[:m_in.size] = m_in % p.t
+        dm = DCRTPoly.from_signed(p.dcrt, m_arr, eval_form=True)
+        u, _ = self._ternary()
+        e1, e2 = self._gaussian(), self._gaussian()
+        c0 = pk.b * u + e1.mul_scalar(p.t) + dm
+        c1 = pk.a * u + e2.mul_scalar(p.t)
+        return BFVCiphertext([c0, c1], p)
+
+    def decrypt(self, sk, ct) -> np.ndarray:
+        p = self.params
+        acc = ct.polys[0]
+        s_pow = sk.s
+        for c in ct.polys[1:]:
+            acc = acc + c * s_pow
+            s_pow = s_pow * sk.s
+        v = acc.to_centered_bigint()
+        return np.array([c % p.t for c in v], dtype=np.int64)
+
+    def eval_mult(self, a, b, rlk=None) -> BFVCiphertext:
+        """Exact tensor product (no BFV t/Q rescale — BGV noise is additive in
+        the t-scaled error)."""
+        p = self.params
+        assert len(a.polys) == 2 and len(b.polys) == 2
+        ca = [x.to_centered_bigint() for x in a.polys]
+        cb = [x.to_centered_bigint() for x in b.polys]
+        d0 = _negacyclic_bigint(ca[0], cb[0], p)
+        d1a = _negacyclic_bigint(ca[0], cb[1], p)
+        d1b = _negacyclic_bigint(ca[1], cb[0], p)
+        d1 = [x + y for x, y in zip(d1a, d1b)]
+        d2 = _negacyclic_bigint(ca[1], cb[1], p)
+        Q = p.Q
+
+        def tower(coeffs):
+            return DCRTPoly.from_bigint(p.dcrt, [c % Q for c in coeffs]).to_eval()
+
+        ct = BFVCiphertext([tower(d0), tower(d1), tower(d2)], p)
+        return self.relinearize(ct, rlk) if rlk is not None else ct
