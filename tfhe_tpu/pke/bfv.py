@@ -196,6 +196,60 @@ class BFVContext:
         ct = BFVCiphertext(polys, p)
         return self.relinearize(ct, rlk) if rlk is not None else ct
 
+    # -- packed (SIMD) encoding + rotations ---------------------------------------
+
+    def encrypt_packed(self, pk: BFVPublicKey, values) -> BFVCiphertext:
+        """Slot-wise encryption (packedencoding.cpp): requires prime
+        t = 1 mod 2N; ring multiplication then acts slot-wise."""
+        from . import encoding
+        p = self.params
+        coeffs = encoding.pack(values, p.t, p.N)
+        dm = DCRTPoly.from_bigint(p.dcrt,
+                                  [int(c) * p.delta for c in coeffs]).to_eval()
+        u, _ = self._ternary()
+        e1, e2 = self._gaussian(), self._gaussian()
+        return BFVCiphertext([pk.b * u + e1 + dm, pk.a * u + e2], p)
+
+    def decrypt_packed(self, sk: BFVSecretKey, ct: BFVCiphertext) -> np.ndarray:
+        from . import encoding
+        coeffs = self.decrypt(sk, ct)
+        return encoding.unpack(coeffs, self.params.t, self.params.N)
+
+    def galois_key_gen(self, sk: BFVSecretKey, steps: int):
+        """Key-switch key for the slot-rotation automorphism X -> X^(5^steps)
+        (keyswitch-bv.cpp semantics with a base-2^w gadget)."""
+        from . import encoding
+        p = self.params
+        k = encoding.rotation_automorphism_index(p.N, steps)
+        s_tau = _automorph(sk.s, k)
+        T = 1 << p.relin_window
+        n_digits = (p.Q.bit_length() + p.relin_window - 1) // p.relin_window
+        gk = BFVRelinKey()
+        for d in range(n_digits):
+            a_d = self._uniform()
+            e_d = self._gaussian()
+            gk.b.append(-(a_d * sk.s + e_d) + s_tau.mul_scalar(pow(T, d, p.Q)))
+            gk.a.append(a_d)
+        return k, gk
+
+    def eval_rotate(self, ct: BFVCiphertext, galois_key) -> BFVCiphertext:
+        """Rotate packed slots: apply the automorphism to the ciphertext, then
+        key-switch s(X^k) back to s (base-scheme EvalAutomorphism flow)."""
+        k, gk = galois_key
+        p = self.params
+        assert len(ct.polys) == 2
+        c0t = _automorph(ct.polys[0], k)
+        c1t = _automorph(ct.polys[1], k)
+        c1_big = c1t.to_bigint()
+        T = 1 << p.relin_window
+        c0, c1 = c0t, DCRTPoly.zero(p.dcrt, eval_form=True)
+        for d in range(len(gk.b)):
+            digit = [(c >> (p.relin_window * d)) & (T - 1) for c in c1_big]
+            dp = DCRTPoly.from_bigint(p.dcrt, digit).to_eval()
+            c0 = c0 + gk.b[d] * dp
+            c1 = c1 + gk.a[d] * dp
+        return BFVCiphertext([c0, c1], p)
+
     def relinearize(self, ct: BFVCiphertext, rlk: BFVRelinKey) -> BFVCiphertext:
         if len(ct.polys) == 2:
             return ct
@@ -210,6 +264,15 @@ class BFVContext:
             c0 = c0 + rlk.b[d] * dp
             c1 = c1 + rlk.a[d] * dp
         return BFVCiphertext([c0, c1], p)
+
+
+def _automorph(poly: DCRTPoly, k: int) -> DCRTPoly:
+    """a(X) -> a(X^k) limb-wise (AutomorphismTransform, poly.cpp:664-759)."""
+    from . import encoding
+    p = poly.to_coeff()
+    rns = np.stack([encoding.apply_automorphism_coeff(p.rns[i], k, m)
+                    for i, m in enumerate(p.params.moduli)])
+    return DCRTPoly(p.params, rns, eval_form=False).to_eval()
 
 
 def _negacyclic_bigint(ca: list, cb: list, p: BFVParams) -> list:
