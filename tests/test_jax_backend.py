@@ -67,9 +67,14 @@ def test_context_device_setup_roundtrip(ctx):
 
 
 def test_unsupported_params_raise():
-    from tfhe_tpu import Method
+    """A 60-bit prime with qKS = Q (non-power-of-two > 2^32) fits no device
+    path and must fall back with a clear error. (DM/AP at small moduli IS
+    supported on device now — beyond the reference's GPU.)"""
+    from tfhe_tpu.utils.numtheory import ntt_prime
     cc = BinFHEContext(seed=1)
-    cc.generate_binfhe_context(ParamSet.TOY, Method.AP)
+    Q = ntt_prime(60, 512)
+    cc.generate_binfhe_context_custom(n=16, N=256, q=512, Q=Q, std=3.19,
+                                      base_ks=32, base_g=1 << 20, base_r=23)
     sk = cc.key_gen()
     cc.bt_key_gen(sk)
     with pytest.raises(NotImplementedError):

@@ -8,12 +8,16 @@ multipliers, and the switching key is flattened to one gatherable table —
 exactly where the reference converts its key to the cuFFTDx layout and
 flattens `KSkey[N][baseKS][digitCount]`.
 
-Two arithmetic paths, selected by modulus size:
+Three arithmetic paths, selected by modulus size and method:
 - single-limb uint32 (Q, qKS < 2^31): classic parameter sets and the
-  accelerated logQ=11 gate configuration;
+  accelerated logQ=11 gate configuration (CGGI/GINX);
 - two-limb uint32 pairs (54-bit ring primes, qKS = 2^35): the accelerated
-  functional-bootstrapping configurations (logQ 12..29).
-DM/AP and non-power-of-two qKS above 2^32 run on the host oracle.
+  functional-bootstrapping configurations (logQ 12..29);
+- DM/AP with small moduli: one-hot MXU key selection (ops/blindrotate_dm) —
+  a device path the reference never shipped (its DM GPU code is commented
+  out, rgsw-acc-dm.cpp:361-464).
+Remaining configurations (large-Q DM, non-power-of-two qKS > 2^32) run on
+the host oracle.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from .blindrotate32 import build_blind_rotate, transpose_extract
 from .blindrotate64 import build_blind_rotate64, transpose_extract64
 from .keyswitch32 import build_mkm_switch, pack_ksk
 from .keyswitch64 import build_mkm_switch64, pack_ksk64
+from .blindrotate_dm import build_dm_rotate, dm_digits, pack_dm_table
 from .pallas_rotate import build_pallas_rotate, pack_bsk
 from .pallas_rotate64 import build_pallas_rotate64, pack_bsk64
 import functools
@@ -234,7 +239,7 @@ class JaxBackend:
         env = os.environ.get("TFHE_TPU_PALLAS", "")
         if env == "0":
             return False
-        if not self._is_small(params):
+        if params.rgsw.method != Method.GINX or not self._is_small(params):
             return False
         rg = params.rgsw
         d2 = 2 * (rg.digits_g - rg.num_digits_to_throw)
@@ -257,6 +262,15 @@ class JaxBackend:
         return fits and jax.default_backend() == "tpu"
 
     def supports(self, params: BinFHEParams) -> bool:
+        if params.rgsw.method == Method.AP:
+            # DM/AP device path (the reference's GPU refuses DM): small
+            # moduli, and the one-hot selection table must fit in HBM
+            if not self._is_small(params):
+                return False
+            rg = params.rgsw
+            table_bytes = (params.lwe.n * len(rg.digits_r) * rg.base_r
+                           * 4 * 2 * rg.digits_g * 2 * rg.N * 2)
+            return table_bytes < 6e9
         if params.rgsw.method != Method.GINX:
             return False
         if self._is_small(params):
@@ -283,7 +297,15 @@ class JaxBackend:
         Q = p.Q
         # evaluation-domain BSkey + Shoup companions (host, vectorized NTT)
         bsk_hat = ref_ntt.forward(np.asarray(key.bsk_coeff, dtype=np.uint64), Q)
-        if self._is_small(params):
+        if params.rgsw.method == Method.AP:
+            dk = {
+                "small": True,
+                "dm_table": self._replicate(pack_dm_table(bsk_hat, Q)),
+                "ksk_bf": self._replicate(pack_ksk(
+                    np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
+                    np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
+            }
+        elif self._is_small(params):
             use_pallas = self._use_pallas(params)
             dk = {
                 "small": True,
@@ -338,6 +360,15 @@ class JaxBackend:
         acc[:B] = np.asarray(acc_init, dtype=np.uint64)
         a_idx = np.zeros((Bp, params.lwe.n), dtype=np.int32)
         a_idx[:B] = self._scaled_indices(a_batch, a_modulus, N)
+        if dk.get("dm_table") is not None:
+            digs = np.zeros((Bp, params.lwe.n * len(rg.digits_r)), dtype=np.int32)
+            digs[:B] = dm_digits(np.asarray(a_batch), a_modulus, rg.base_r,
+                                 len(rg.digits_r))
+            fn = build_dm_rotate(N, Q, rg.base_g, rg.digits_g, rg.base_r,
+                                 params.lwe.n * len(rg.digits_r))
+            out = fn(self._shard_batch(acc.astype(np.uint32)),
+                     self._shard_batch(digs), dk["dm_table"])
+            return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
         if dk["small"]:
             digits_eff = rg.digits_g - rg.num_digits_to_throw
             if dk.get("bsk_pack") is not None:
@@ -435,6 +466,14 @@ class JaxBackend:
         """Whole gate/functional bootstrap on device in one jit."""
         dk = self._get_device_key(params, key)
         p, rg = params.lwe, params.rgsw
+        if dk.get("dm_table") is not None:
+            acc_out = self.eval_acc(params, key, acc_init, a_batch, a_modulus)
+            from ..ref.rgsw import poly_transpose
+            a_t = poly_transpose(acc_out[:, 0, :], rg.Q)
+            b = acc_out[:, 1, 0]
+            if add_q8:
+                b = (b + np.uint64(rg.Q // 8 + 1)) % np.uint64(rg.Q)
+            return self.mkm_switch(params, key, a_t, b, fmod)
         B = acc_init.shape[0]
         Bp = self._bucket(B)
         acc = np.zeros((Bp, 2, rg.N), dtype=np.uint64)
