@@ -53,3 +53,25 @@ def test_bytes_roundtrip():
     assert params2.lwe.Q == cc.params.lwe.Q
     np.testing.assert_array_equal(keys2[cc.params.rgsw.base_g].bsk_coeff,
                                   cc.bt_key.bsk_coeff)
+
+
+def test_json_context_roundtrip(tmp_path):
+    """JSON variant (cereal SerType::JSON analogue): gate result bit-identical
+    after reload, mirroring boolean-serial-json.cpp."""
+    from tfhe_tpu.utils import serial
+    cc = BinFHEContext(seed=31)
+    cc.generate_binfhe_context(ParamSet.TOY)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    path = str(tmp_path / "ctx.json")
+    serial.save_context_json(path, cc.params, cc.bt_key)
+    params2, keys2 = serial.load_context_json(path)
+    assert params2.lwe.Q == cc.params.lwe.Q
+    cc2 = BinFHEContext(seed=31)
+    cc2.params = params2
+    cc2.bt_key_load(next(iter(keys2.values())))
+    ct1, ct2 = cc.encrypt(sk, 1), cc.encrypt(sk, 0)
+    out1 = cc.eval_bin_gate(Gate.NAND, ct1, ct2)
+    out2 = cc2.eval_bin_gate(Gate.NAND, ct1, ct2)
+    assert np.array_equal(np.asarray(out1.a), np.asarray(out2.a))
+    assert int(out1.b) == int(out2.b)

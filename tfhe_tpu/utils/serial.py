@@ -106,3 +106,58 @@ def dumps_context(params: BinFHEParams, bt_key: BTKey | None = None,
 
 def loads_context(blob: bytes) -> tuple[BinFHEParams, dict[int, BTKey]]:
     return load_context(io.BytesIO(blob))
+
+
+# ---------------------------------------------------------------------------
+# JSON serialization (cereal SerType::JSON analogue; examples
+# boolean-serial-json*.cpp). Arrays are base64-encoded little-endian uint64.
+# ---------------------------------------------------------------------------
+
+def _arr_to_json(a: np.ndarray) -> dict:
+    import base64
+    a = np.ascontiguousarray(np.asarray(a, dtype=np.uint64))
+    return {"shape": list(a.shape),
+            "data": base64.b64encode(a.astype("<u8").tobytes()).decode()}
+
+
+def _arr_from_json(d: dict) -> np.ndarray:
+    import base64
+    raw = np.frombuffer(base64.b64decode(d["data"]), dtype="<u8")
+    return raw.reshape(d["shape"]).astype(np.uint64)
+
+
+def save_context_json(path, params: BinFHEParams,
+                      bt_key: BTKey | None = None,
+                      bt_key_map: dict[int, BTKey] | None = None) -> None:
+    doc = {"params": _params_to_dict(params), "keys": []}
+    key_items = (sorted(bt_key_map.items()) if bt_key_map
+                 else ([(bt_key.base_g, bt_key)] if bt_key is not None else []))
+    for base_g, key in key_items:
+        doc["keys"].append({
+            "base_g": base_g,
+            "bsk": _arr_to_json(key.bsk_coeff),
+            "ksk_a": _arr_to_json(key.ksk.A),
+            "ksk_b": _arr_to_json(key.ksk.B),
+        })
+    if hasattr(path, "write"):
+        json.dump(doc, path)
+    else:
+        with open(path, "w") as f:
+            json.dump(doc, f)
+
+
+def load_context_json(path) -> tuple[BinFHEParams, dict[int, BTKey]]:
+    if hasattr(path, "read"):
+        doc = json.load(path)
+    else:
+        with open(path) as f:
+            doc = json.load(f)
+    params = _params_from_dict(doc["params"])
+    keys: dict[int, BTKey] = {}
+    for entry in doc["keys"]:
+        keys[entry["base_g"]] = BTKey(
+            bsk_coeff=_arr_from_json(entry["bsk"]),
+            ksk=lwe.LWESwitchingKey(A=_arr_from_json(entry["ksk_a"]),
+                                    B=_arr_from_json(entry["ksk_b"])),
+            base_g=entry["base_g"])
+    return params, keys
