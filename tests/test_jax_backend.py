@@ -119,3 +119,23 @@ def test_two_limb_gate_bit_exact(ctx54):
     dev = scheme.eval_bin_gate(JaxBackend(), cc.params, Gate.OR, cc.bt_key, ct1, ct2)
     np.testing.assert_array_equal(ref.a, dev.a)
     np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+
+
+def test_accelerated_logq11_gate_bit_exact():
+    """Accelerated TOY at logQ=11: Q ~ 2^27 prime with qKS = 2^35 — the
+    two-limb pipeline with a scale-UP mod switch (the reference's gate
+    benchmark configuration, binfhecontext.cpp:99-103)."""
+    cc = BinFHEContext(seed=17)
+    cc.generate_binfhe_context(ParamSet.TOY, arb_func=False, log_q=11)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    m1 = np.array([0, 1, 0, 1])
+    m2 = np.array([0, 0, 1, 1])
+    ct1, ct2 = cc.encrypt(sk, m1), cc.encrypt(sk, m2)
+    ref_out = cc.eval_bin_gate(Gate.NAND, ct1, ct2)
+    cc.device_setup()
+    dev_out = cc.eval_bin_gate(Gate.NAND, ct1, ct2)
+    cc.device_clean()
+    assert np.array_equal(np.asarray(cc.decrypt(sk, dev_out)), 1 - (m1 & m2))
+    assert np.array_equal(np.asarray(ref_out.a), np.asarray(dev_out.a))
+    assert np.array_equal(np.asarray(ref_out.b), np.asarray(dev_out.b))

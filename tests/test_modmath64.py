@@ -72,3 +72,20 @@ def test_ntt64_roundtrip_and_convolution():
     ref_hat = rntt.forward(a, Q54)
     dev_hat = mm64.unpack_host(*[np.asarray(x) for x in ntt.forward(ap)])
     np.testing.assert_array_equal(dev_hat, ref_hat)
+
+
+def test_round_q_Q64_scale_up():
+    """RoundqQ with q > Q (the accelerated logQ=11 configs: Q ~ 2^27 prime,
+    qKS = 2^35 — the mod switch scales UP)."""
+    import numpy as np
+    from tfhe_tpu.ops import modmath64 as mm64
+    from tfhe_tpu.utils.numtheory import ntt_prime
+    Q = ntt_prime(27, 2048)
+    q = 1 << 35
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, Q, 257).astype(np.uint64)
+    got = mm64.unpack_host(*[np.asarray(x) for x in
+                             mm64.round_q_Q64(mm64.pack_host(v), q, Q)])
+    want = np.array([((2 * q * int(x) + Q) // (2 * Q)) % q for x in v],
+                    dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)

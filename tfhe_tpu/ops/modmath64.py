@@ -175,9 +175,12 @@ def _wrap_const(v: int):
 
 
 def round_q_Q64(v, q: int, Q: int):
-    """Exact RoundqQ for v < Q < 2^62, q <= Q: floor((v*F + 2^127) / 2^128) with
-    F = floor(q*2^128/Q). Exact because the fixed-point error v*2^-128 < 2^-66
-    is below the half-integer gap 1/(2Q) > 2^-63.
+    """Exact RoundqQ for v < Q < 2^62: floor((v*F + 2^127) / 2^128) with
+    F = floor(q*2^128/Q). Handles both directions — scale-down (q <= Q) and
+    scale-up (q > Q, e.g. the accelerated logQ=11 configs with Q ~ 2^27 and
+    qKS = 2^35, where the reference's MKMSwitchKernel scales the extracted
+    ciphertext UP). Exact because the fixed-point error v*2^-128 < 2^-66 is
+    below the half-integer gap 1/(2Q) > 2^-63.
 
     v is a (lo, hi) uint32 pair; returns a (lo, hi) pair of residues mod q.
     Computed by 16-bit-limb schoolbook: column sums stay < 2^21 in uint32, so
@@ -186,15 +189,16 @@ def round_q_Q64(v, q: int, Q: int):
     if q == Q:
         return v
     F = (int(q) << 128) // int(Q)
-    assert F < (1 << 128)
-    f16 = [np.uint32((F >> (16 * j)) & 0xFFFF) for j in range(8)]
+    n_f = max(8, (F.bit_length() + 15) // 16)          # F limbs (q > Q: up to 10)
+    assert q < (1 << 62) and v is not None
+    f16 = [np.uint32((F >> (16 * j)) & 0xFFFF) for j in range(n_f)]
     v16 = [v[0] & np.uint32(0xFFFF), v[0] >> np.uint32(16),
            v[1] & np.uint32(0xFFFF), v[1] >> np.uint32(16)]
 
-    # 12 columns of 16-bit limbs; products are < 2^32, split into 16-bit parts
-    cols = [None] * 13
+    n_cols = 4 + n_f + 1
+    cols = [None] * n_cols
     for i in range(4):
-        for j in range(8):
+        for j in range(n_f):
             p = v16[i] * f16[j]
             k = i + j
             cols[k] = p & np.uint32(0xFFFF) if cols[k] is None else cols[k] + (p & np.uint32(0xFFFF))
@@ -204,14 +208,17 @@ def round_q_Q64(v, q: int, Q: int):
     cols = [zero if c is None else c for c in cols]
     cols[7] = cols[7] + np.uint32(0x8000)      # + 2^127
 
-    # carry propagation (each column < 13*2^16 + carry < 2^21)
+    # carry propagation (each column < 14*2^16 + carry < 2^21)
     carry = zero
     out16 = []
-    for k in range(13):
+    for k in range(n_cols):
         s = cols[k] + carry
         out16.append(s & np.uint32(0xFFFF))
         carry = s >> np.uint32(16)
-    # result = limbs 8..11 (bits 128..191); bound q <= 2^62 fits in 4 limbs
+    out16.append(carry)
+    while len(out16) < 12:
+        out16.append(zero)
+    # result = bits [128:192) = limbs 8..11 (q < 2^62 fits in 4 limbs)
     res = (out16[8] | (out16[9] << np.uint32(16)),
            out16[10] | (out16[11] << np.uint32(16)))
     qp = _const_pair(q)
