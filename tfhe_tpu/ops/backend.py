@@ -135,6 +135,36 @@ def build_full_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
 
 
 @functools.lru_cache(maxsize=None)
+def build_mixed_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
+                         throw: int, n: int, q_ks: int, base_ks: int,
+                         digit_count: int, fmod: int, add_q8: bool,
+                         use_pallas: bool):
+    """Mixed path for the accelerated logQ=11 configs: Q ~ 2^27 (single-limb
+    Pallas/XLA rotation) with qKS = 2^35 (two-limb key switch, scale-up mod
+    switch). The reference runs this whole configuration in double-complex
+    FFT; here the rotation stays exact u32."""
+    if use_pallas:
+        blind = build_pallas_rotate(N, Q, base_g, digits_g_eff, throw, n)
+    else:
+        blind = build_blind_rotate(N, Q, base_g, digits_g_eff, throw, n)
+    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = np.uint32(Q // 8 + 1)
+
+    @jax.jit
+    def pipe(acc, a_idx, *keys):
+        bsk_args, ksk_bf = keys[:-1], keys[-1]
+        acc = blind(acc, a_idx, *bsk_args)
+        a_t, b = transpose_extract(acc, Q)
+        if add_q8:
+            b = mm.addmod(b, q8, Q)
+        zero_a = jnp.zeros_like(a_t)
+        zero_b = jnp.zeros_like(b)
+        return mkm(a_t, zero_a, b, zero_b, ksk_bf)
+
+    return pipe
+
+
+@functools.lru_cache(maxsize=None)
 def build_gate_pipeline64(N: int, Q: int, base_g: int, digits_g_eff: int, throw: int,
                           n: int, q_ks: int, base_ks: int, digit_count: int,
                           fmod: int, add_q8: bool):
@@ -249,6 +279,16 @@ class JaxBackend:
             return fits
         return fits and jax.default_backend() == "tpu"
 
+    @staticmethod
+    def _is_mixed(params: BinFHEParams) -> bool:
+        """Q fits the single-limb rotation but qKS needs two limbs (the
+        accelerated logQ=11 gate/floor configuration)."""
+        p = params.lwe
+        return (params.rgsw.method == Method.GINX and p.Q < (1 << 28)
+                and (1 << 32) < p.q_ks < (1 << 40)
+                and p.q_ks & (p.q_ks - 1) == 0
+                and p.base_ks & (p.base_ks - 1) == 0)
+
     def _use_pallas64(self, params: BinFHEParams) -> bool:
         env = os.environ.get("TFHE_TPU_PALLAS", "")
         if env == "0" or self._is_small(params):
@@ -302,6 +342,24 @@ class JaxBackend:
                 "small": True,
                 "dm_table": self._replicate(pack_dm_table(bsk_hat, Q)),
                 "ksk_bf": self._replicate(pack_ksk(
+                    np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
+                    np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
+            }
+        elif self._is_mixed(params):
+            rg = params.rgsw
+            d2 = 2 * (rg.digits_g - rg.num_digits_to_throw)
+            pallas_ok = ((2 * rg.Q - 1) * d2 < (1 << 32) and rg.N % 128 == 0
+                         and os.environ.get("TFHE_TPU_PALLAS", "") != "0"
+                         and (jax.default_backend() == "tpu"
+                              or os.environ.get("TFHE_TPU_PALLAS", "") == "1"))
+            dk = {
+                "small": False,
+                "mixed": True,
+                "mixed_pallas": pallas_ok,
+                "bsk_pack": self._replicate(pack_bsk(bsk_hat, Q)) if pallas_ok else None,
+                "bsk": None if pallas_ok else self._replicate(bsk_hat.astype(np.uint32)),
+                "bsk_sh": None if pallas_ok else self._replicate(mm.shoup(bsk_hat, Q)),
+                "ksk_bf": self._replicate(pack_ksk64(
                     np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
                     np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
             }
@@ -385,6 +443,20 @@ class JaxBackend:
                          self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
             return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
         digits_eff = rg.digits_g - rg.num_digits_to_throw
+        if dk.get("mixed"):
+            if dk["mixed_pallas"]:
+                fn = self._shard_pallas(
+                    build_pallas_rotate(N, Q, rg.base_g, digits_eff,
+                                        rg.num_digits_to_throw, params.lwe.n),
+                    n_batch_args=2)
+                out = fn(self._shard_batch(acc.astype(np.uint32)),
+                         self._shard_batch(a_idx), dk["bsk_pack"])
+            else:
+                fn = build_blind_rotate(N, Q, rg.base_g, digits_eff,
+                                        rg.num_digits_to_throw, params.lwe.n)
+                out = fn(self._shard_batch(acc.astype(np.uint32)),
+                         self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
+            return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
         lo, hi = mm64.pack_host(acc)
         if dk.get("bsk_sh_pack") is not None:
             fn = self._shard_pallas(
@@ -500,6 +572,21 @@ class JaxBackend:
                                   dk["bsk"], dk["bsk_sh"], dk["ksk_bf"])
         else:
             digits_eff = rg.digits_g - rg.num_digits_to_throw
+            if dk.get("mixed"):
+                fn = self._shard_pallas(build_mixed_pipeline(
+                    rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
+                    p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod),
+                    bool(add_q8), dk["mixed_pallas"]),
+                    n_batch_args=2, n_out=2)
+                key_args = ((dk["bsk_pack"],) if dk["mixed_pallas"]
+                            else (dk["bsk"], dk["bsk_sh"]))
+                a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
+                                  self._shard_batch(a_idx),
+                                  *key_args, dk["ksk_bf"])
+                return lwe.LWECiphertext(
+                    np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
+                    np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
+                    int(fmod))
             lo, hi = mm64.pack_host(acc)
             if dk.get("bsk_sh_pack") is not None:
                 fn = self._shard_pallas(build_gate_pipeline64_pallas(

@@ -230,6 +230,8 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
             out_specs=pl.BlockSpec((2, bT, N), lambda i, r: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2, B, N), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret_mode(),
         )(acc_t, a_t, bsk_pack, twf, twf_sh, twi, twi_sh)
         return jnp.transpose(out, (1, 0, 2))
