@@ -89,3 +89,41 @@ def test_mult_without_relin_decrypts_degree2(ctx):
     prod = cc.eval_mult(ct1, ct2)
     assert len(prod.polys) == 3
     assert int(cc.decrypt(sk, prod)[0]) == 15
+
+
+def test_pke_serialization_roundtrip(tmp_path, ctx):
+    """Keys + ciphertext survive save/load; decrypt is bit-identical
+    (the pke side of the cereal checkpointing, src/pke/lib/*-ser.cpp)."""
+    from tfhe_tpu.pke import serial as pke_serial
+    from tfhe_tpu.pke.bfv import BFVContext
+    cc, sk, pk = ctx
+    rlk = cc.relin_key_gen(sk)
+    kp = str(tmp_path / "keys.npz")
+    cp = str(tmp_path / "ct.npz")
+    pke_serial.save_keys(kp, cc.params, sk=sk, pk=pk, rlk=rlk)
+    params2, sk2, pk2, rlk2 = pke_serial.load_keys(kp)
+    assert params2.Q == cc.params.Q
+
+    m = np.arange(cc.params.N) % cc.params.t
+    ct = cc.encrypt(pk, m)
+    pke_serial.save_ciphertext(cp, ct)
+    ct2 = pke_serial.load_ciphertext(cp)
+
+    cc2 = BFVContext(params2, seed=0)
+    np.testing.assert_array_equal(cc2.decrypt(sk2, ct2), m)
+    # reloaded keys still multiply correctly
+    prod = cc2.eval_mult(ct2, ct2, rlk2)
+    got = cc2.decrypt(sk2, prod)
+    assert got.shape == (cc.params.N,)
+
+
+def test_gen_crypto_context_factory():
+    from tfhe_tpu.pke.context import gen_crypto_context
+    cc = gen_crypto_context("BFV", N=128, mult_depth=1, plaintext_modulus=257, seed=1)
+    sk, pk = cc.key_gen()
+    m = np.arange(128) % 257
+    np.testing.assert_array_equal(cc.decrypt(sk, cc.encrypt(pk, m)), m)
+    ck = gen_crypto_context("CKKS", N=128, mult_depth=1, scale_bits=30, seed=2)
+    csk, cpk = ck.key_gen()
+    z = np.linspace(0, 1, ck.params.slots)
+    assert np.max(np.abs(ck.decrypt(csk, ck.encrypt(cpk, z)) - z)) < 1e-3
