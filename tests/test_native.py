@@ -38,3 +38,32 @@ def test_forward_routes_through_native(monkeypatch):
     monkeypatch.setenv("TFHE_TPU_NATIVE", "0")
     via_numpy = ref_ntt.forward(x, Q)
     assert np.array_equal(via_native, via_numpy)
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native toolchain missing")
+def test_native_cggi_rotate_matches_numpy():
+    """C++ blind rotation == the pure-numpy oracle loop, bit for bit."""
+    from tfhe_tpu import BinFHEContext, ParamSet
+    from tfhe_tpu.ref import rgsw
+
+    cc = BinFHEContext(seed=3)
+    cc.generate_binfhe_context(ParamSet.TOY)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    p = cc.params.rgsw
+    ek = rgsw.to_eval_cggi(p, cc.bt_key.bsk_coeff)
+    rng = np.random.default_rng(5)
+    acc = rng.integers(0, p.Q, (2, p.N)).astype(np.uint64)
+    a = rng.integers(0, p.q, cc.params.lwe.n).astype(np.uint64)
+
+    got = rgsw.eval_acc_cggi(p, ek, acc.copy(), a, p.q)   # native path
+
+    # force the numpy loop
+    M = 2 * p.N
+    factor = M // p.q
+    want = acc.copy()
+    for i in range(len(a)):
+        a_scaled = int((p.q - int(a[i])) % p.q) * factor
+        want = rgsw.add_to_acc_cggi(p, ek.bsk_hat[i, 0], ek.bsk_hat[i, 1],
+                                    a_scaled, want)
+    assert np.array_equal(got, want)

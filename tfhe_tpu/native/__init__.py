@@ -66,6 +66,12 @@ def get_lib():
                                              ctypes.c_uint64, ctypes.c_uint64]
             lib.tfhe_pointwise_mulmod.argtypes = [u64p, u64p, ctypes.c_int64,
                                                   ctypes.c_uint64]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.tfhe_cggi_rotate.argtypes = [
+                u64p, i64p, u64p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
             lib.tfhe_hostmath_version.restype = ctypes.c_int
             if lib.tfhe_hostmath_version() != 1:
                 return None
@@ -73,6 +79,31 @@ def get_lib():
         except OSError:
             _lib = None
         return _lib
+
+
+def cggi_rotate(acc, a_scaled, bsk_hat, Q: int, psi: int, g_bits: int,
+                digits_eff: int, throw: int):
+    """In-place batched CGGI blind rotation on the host (C++ OpenMP).
+    acc [B,2,N] u64 coeff-domain, a_scaled [B,n] i64 in [0,2N),
+    bsk_hat [n,2,d2,2,N] u64 eval-domain. Returns True when native ran."""
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    acc = np.ascontiguousarray(acc)
+    a_scaled = np.ascontiguousarray(a_scaled, dtype=np.int64)
+    bsk_hat = np.ascontiguousarray(bsk_hat)
+    B, _, N = acc.shape
+    n = a_scaled.shape[1]
+    lib.tfhe_cggi_rotate(
+        acc.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        a_scaled.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        bsk_hat.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        B, n, N, Q, psi, g_bits, digits_eff, throw)
+    return True
 
 
 def ntt_batch(x, Q: int, psi: int, inverse: bool):

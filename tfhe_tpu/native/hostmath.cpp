@@ -193,6 +193,109 @@ void tfhe_pointwise_mulmod(u64* a, const u64* b, i64 count, u64 Q) {
     for (i64 i = 0; i < count; i++) a[i] = mulmod(a[i], b[i], Q);
 }
 
+// Full CGGI blind rotation, batched over ciphertexts (OpenMP) — the C++
+// mirror of ref/rgsw.py::eval_acc_cggi / add_to_acc_cggi
+// (rgsw-acc-cggi.cpp:143-307), bit-exact with the numpy oracle.
+//
+// acc:      [batch, 2, N] residues mod Q, coefficient domain, in place
+// a_scaled: [batch, n] monomial exponents in [0, 2N) (already 2N/q-scaled)
+// bsk_hat:  [n, 2(key), d2, 2(out), N] evaluation domain
+void tfhe_cggi_rotate(u64* acc, const i64* a_scaled, const u64* bsk_hat,
+                      i64 batch, i64 n, i64 N, u64 Q, u64 psi,
+                      i64 g_bits, i64 digits_eff, i64 throw_digits) {
+    Tables* t = get_tables(N, Q, psi);
+    const i64 d2 = 2 * digits_eff;
+    const i64 half = i64(1) << (g_bits - 1);
+    const i64 base_g = i64(1) << g_bits;
+    const u64 half_q = Q >> 1;
+
+#pragma omp parallel
+    {
+        std::vector<u64> scratch(N);
+        std::vector<i64> d0(N), d1(N);
+        std::vector<std::vector<u64>> dct(d2, std::vector<u64>(N));
+        std::vector<u64> u(N), c(N);
+
+#pragma omp for schedule(static)
+        for (i64 b = 0; b < batch; b++) {
+            u64* acc_b = acc + b * 2 * N;
+            for (i64 r = 0; r < n; r++) {
+                // signed digit decomposition (rgsw-acc.cpp:57-111)
+                for (i64 k = 0; k < N; k++) {
+                    u64 v0 = acc_b[k], v1 = acc_b[N + k];
+                    d0[k] = v0 < half_q ? (i64)v0 : (i64)v0 - (i64)Q;
+                    d1[k] = v1 < half_q ? (i64)v1 : (i64)v1 - (i64)Q;
+                }
+                for (i64 l = -throw_digits; l < digits_eff; l++) {
+                    for (i64 k = 0; k < N; k++) {
+                        i64 r0 = d0[k] & (base_g - 1);
+                        if (r0 >= half) r0 -= base_g;
+                        d0[k] = (d0[k] - r0) >> g_bits;
+                        i64 r1 = d1[k] & (base_g - 1);
+                        if (r1 >= half) r1 -= base_g;
+                        d1[k] = (d1[k] - r1) >> g_bits;
+                        if (l >= 0) {
+                            dct[2 * l][k] = r0 < 0 ? Q + (u64)r0 : (u64)r0;
+                            dct[2 * l + 1][k] = r1 < 0 ? Q + (u64)r1 : (u64)r1;
+                        }
+                    }
+                }
+                // forward NTTs of the digit rows
+                for (i64 l = 0; l < d2; l++) {
+                    u64* row = dct[l].data();
+                    for (i64 k = 0; k < N; k++)
+                        row[k] = mulmod_shoup(row[k], t->twist[k], t->twist_sh[k], Q);
+                    cyclic_one(row, t, false, scratch.data());
+                }
+                const i64 M = 2 * N;
+                const i64 idx_pos = ((a_scaled[b * n + r] % M) + M) % M;
+                const i64 idx_neg = (M - idx_pos) % M;
+                for (int key = 0; key < 2; key++) {
+                    const u64* ek = bsk_hat + ((r * 2 + key) * d2) * 2 * N;
+                    const i64 idx = key == 0 ? idx_pos : idx_neg;
+                    for (int j = 0; j < 2; j++) {
+                        // u = sum_l dct_hat[l] * ek[l][j]
+                        for (i64 k = 0; k < N; k++) u[k] = 0;
+                        for (i64 l = 0; l < d2; l++) {
+                            const u64* ekrow = ek + (l * 2 + j) * N;
+                            const u64* dr = dct[l].data();
+                            for (i64 k = 0; k < N; k++) {
+                                u64 p = mulmod(dr[k], ekrow[k], Q);
+                                u64 s = u[k] + p;
+                                u[k] = s >= Q ? s - Q : s;
+                            }
+                        }
+                        // inverse NTT
+                        std::memcpy(c.data(), u.data(), N * sizeof(u64));
+                        cyclic_one(c.data(), t, true, scratch.data());
+                        for (i64 k = 0; k < N; k++)
+                            c[k] = mulmod_shoup(c[k], t->untwist[k],
+                                                t->untwist_sh[k], Q);
+                        // acc[j] += X^idx * c - c (negacyclic monomial)
+                        i64 sft = idx;
+                        bool neg = false;
+                        if (sft >= N) { sft -= N; neg = true; }
+                        u64* aj = acc_b + j * N;
+                        for (i64 k = 0; k < N; k++) {
+                            i64 src = k - sft;
+                            bool flip = neg;
+                            if (src < 0) { src += N; flip = !flip; }
+                            u64 v = c[src];
+                            if (flip && v) v = Q - v;
+                            // acc += v - c[k]  (mod Q)
+                            u64 s = aj[k] + v;
+                            if (s >= Q) s -= Q;
+                            s += Q - c[k];
+                            if (s >= Q) s -= Q;
+                            aj[k] = s;
+                        }
+                    }
+                }
+            }
+        }
+    }
+}
+
 int tfhe_hostmath_version() { return 1; }
 
 }  // extern "C"

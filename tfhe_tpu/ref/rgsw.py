@@ -191,10 +191,27 @@ def _sum_mod(u: np.ndarray, Q: int) -> np.ndarray:
 def eval_acc_cggi(params: RGSWParams, ek: CGGIEvalKey, acc_coeff: np.ndarray,
                   a_vec: np.ndarray, a_modulus: int) -> np.ndarray:
     """Full blind rotation over the n LWE coefficients (rgsw-acc-cggi.cpp:143-155):
-    round i uses index (q - a_i mod q) * (2N / q)."""
+    round i uses index (q - a_i mod q) * (2N / q).
+
+    Routes through the native C++ engine (tfhe_tpu/native) when available and
+    the base is a power of two — bit-exact with the numpy loop below."""
     M = 2 * params.N
     factor = M // a_modulus
     n = len(a_vec)
+    Q, base_g = params.Q, params.base_g
+    if (acc_coeff.dtype != object and base_g & (base_g - 1) == 0
+            and Q < (1 << 62)):
+        from .. import native
+        a_scaled = ((np.int64(a_modulus)
+                     - np.asarray(a_vec, dtype=np.int64) % a_modulus)
+                    % a_modulus) * factor
+        acc = np.ascontiguousarray(acc_coeff[None], dtype=np.uint64)
+        if native.cggi_rotate(acc, a_scaled[None], ek.bsk_hat, Q,
+                              ntt._psi(params.N, Q),
+                              base_g.bit_length() - 1,
+                              params.digits_g - params.num_digits_to_throw,
+                              params.num_digits_to_throw):
+            return acc[0]
     for i in range(n):
         a_scaled = int((a_modulus - int(a_vec[i])) % a_modulus) * factor
         acc_coeff = add_to_acc_cggi(params, ek.bsk_hat[i, 0], ek.bsk_hat[i, 1],
