@@ -78,3 +78,48 @@ def test_ckks_mult_rescale(ckks):
     assert prod.level_params.L == cc.params.dcrt.L - 1   # rescaled one level
     d = cc.decrypt(sk, prod)
     assert np.max(np.abs(d - z1 * z2)) < 1e-2
+
+
+def test_bgv_mod_switch_leveled(bgv):
+    """ModReduce preserves the message and enables leveled circuits
+    (rns-leveledshe.cpp analogue)."""
+    cc, sk, pk = bgv
+    rlk = cc.relin_key_gen(sk)
+    rng = np.random.default_rng(4)
+    t = cc.params.t
+    m1 = rng.integers(0, t, cc.params.N)
+    m2 = rng.integers(0, t, cc.params.N)
+    ct = cc.eval_mult(cc.encrypt(pk, m1), cc.encrypt(pk, m2), rlk)
+    ct = cc.mod_switch(ct)
+    assert ct.polys[0].params.L == cc.params.dcrt.L - 1
+    want = np.zeros(cc.params.N, dtype=np.int64)
+    for i in range(cc.params.N):
+        for j in range(cc.params.N):
+            k, v = i + j, int(m1[i]) * int(m2[j])
+            if k < cc.params.N:
+                want[k] += v
+            else:
+                want[k - cc.params.N] -= v
+    np.testing.assert_array_equal(cc.decrypt(sk, ct), want % t)
+
+
+def test_ckks_depth2_chain(ckks):
+    """Two multiplications with rescale at each level (leveled CKKS)."""
+    from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+    cc = CKKSContext(CKKSParams.create(N=256, mult_depth=2, scale_bits=38,
+                                       limb_bits=40), seed=9)
+    sk, pk = cc.key_gen()
+    rlk = cc.relin_key_gen(sk)
+    rng = np.random.default_rng(5)
+    z1 = rng.normal(size=cc.params.slots) * 0.5
+    z2 = rng.normal(size=cc.params.slots) * 0.5
+    z3 = rng.normal(size=cc.params.slots) * 0.5
+    ct12 = cc.eval_mult(cc.encrypt(pk, z1), cc.encrypt(pk, z2), rlk)
+    # bring z3 to the same level/scale before the second mult
+    ct3 = cc.encrypt(pk, z3, scale=ct12.scale)
+    from tfhe_tpu.pke.ckks import _at_level, CKKSCiphertext
+    lp = ct12.level_params
+    ct3 = CKKSCiphertext([_at_level(p, lp) for p in ct3.polys], ct3.scale, ct3.params)
+    out = cc.eval_mult(ct12, ct3, rlk)
+    d = cc.decrypt(sk, out)
+    assert np.max(np.abs(d - z1 * z2 * z3)) < 1e-4

@@ -20,7 +20,16 @@ from .dcrt import DCRTPoly
 
 @dataclass(frozen=True)
 class BGVParams(BFVParams):
-    pass
+
+    @classmethod
+    def create(cls, N: int = 4096, t: int = 257, mult_depth: int = 1,
+               limb_bits: int = 54) -> "BGVParams":
+        """BGV chains require q_i = 1 (mod t) so modulus switching preserves
+        the message (bgvrns-parametergeneration.cpp)."""
+        from .dcrt import DCRTParams
+        L = mult_depth + 1
+        return cls(N=N, t=t,
+                   dcrt=DCRTParams.create(N, L, limb_bits, extra_mod=t))
 
 
 class BGVContext(BFVContext):
@@ -63,13 +72,48 @@ class BGVContext(BFVContext):
 
     def decrypt(self, sk, ct) -> np.ndarray:
         p = self.params
+        lp = ct.polys[0].params
+        s = (sk.s if lp.moduli == p.dcrt.moduli
+             else DCRTPoly.from_signed(lp, sk.s_signed, eval_form=True))
         acc = ct.polys[0]
-        s_pow = sk.s
+        s_pow = s
         for c in ct.polys[1:]:
             acc = acc + c * s_pow
-            s_pow = s_pow * sk.s
+            s_pow = s_pow * s
         v = acc.to_centered_bigint()
         return np.array([c % p.t for c in v], dtype=np.int64)
+
+    def mod_switch(self, ct):
+        """BGV modulus switching (ModReduce, rns-leveledshe.cpp): drop the
+        last RNS limb, scaling the ciphertext by 1/q_last while preserving
+        the message mod t — the correction r is chosen with r = c (mod
+        q_last) and r = c*(1 - q_last) (mod t), so c' = (c - r)/q_last is an
+        integer with c' = c (mod t) and noise shrunk by ~q_last."""
+        from .bfv import BFVCiphertext
+        p = self.params
+        lp = ct.polys[0].params
+        assert lp.L > 1, "no limbs left to switch away"
+        q_last = lp.moduli[-1]
+        from .dcrt import DCRTParams
+        new_lp = DCRTParams(N=lp.N, moduli=lp.moduli[:-1])
+        t = p.t
+        ql_inv_t = pow(q_last % t, -1, t)
+        out = []
+        for poly in ct.polys:
+            c = poly.to_centered_bigint()
+            coeffs = []
+            for x in c:
+                r0 = x % q_last
+                if r0 > q_last // 2:
+                    r0 -= q_last
+                # delta in [-t/2, t/2): r = r0 + q_last*delta = x(1-q_last) mod t
+                delta = ((x * (1 - q_last) - r0) * ql_inv_t) % t
+                if delta > t // 2:
+                    delta -= t
+                r = r0 + q_last * delta
+                coeffs.append(((x - r) // q_last) % new_lp.Q)
+            out.append(DCRTPoly.from_bigint(new_lp, coeffs).to_eval())
+        return BFVCiphertext(out, p)
 
     def eval_mult(self, a, b, rlk=None) -> BFVCiphertext:
         """Exact tensor product (no BFV t/Q rescale — BGV noise is additive in

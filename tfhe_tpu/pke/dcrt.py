@@ -24,15 +24,21 @@ from ..utils.numtheory import ntt_prime
 
 
 @lru_cache(maxsize=None)
-def _moduli_chain(N: int, n_limbs: int, bits: int, skip: int = 0) -> tuple[int, ...]:
+def _moduli_chain(N: int, n_limbs: int, bits: int, skip: int = 0,
+                  extra_mod: int = 1) -> tuple[int, ...]:
     """`n_limbs` distinct NTT primes of ~`bits` bits for ring dim N (all
-    congruent to 1 mod 2N), largest first; `skip` skips the first few (for
-    auxiliary bases disjoint from the main chain)."""
+    congruent to 1 mod lcm(2N, extra_mod)), largest first; `skip` skips the
+    first few (for auxiliary bases disjoint from the main chain). BGV passes
+    extra_mod = t so modulus switching preserves the message mod t
+    (bgvrns-parametergeneration.cpp does the same)."""
+    import math
+
+    m = 2 * N * extra_mod // math.gcd(2 * N, extra_mod)
     out: list[int] = []
     p = None
     total = n_limbs + skip
     while len(out) < total:
-        p = ntt_prime(bits, 2 * N) if p is None else _prev_prime(p, 2 * N)
+        p = ntt_prime(bits, m) if p is None else _prev_prime(p, m)
         out.append(p)
     return tuple(out[skip:])
 
@@ -61,8 +67,10 @@ class DCRTParams:
         return q
 
     @classmethod
-    def create(cls, N: int, n_limbs: int, bits: int = 54) -> "DCRTParams":
-        return cls(N=N, moduli=_moduli_chain(N, n_limbs, bits))
+    def create(cls, N: int, n_limbs: int, bits: int = 54,
+               extra_mod: int = 1) -> "DCRTParams":
+        return cls(N=N, moduli=_moduli_chain(N, n_limbs, bits,
+                                             extra_mod=extra_mod))
 
 
 class DCRTPoly:
