@@ -88,11 +88,27 @@ def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
                 atmp = atmp // np.uint32(base_ks)
         d = jnp.stack(digs, axis=-1)                          # [B, N, dc]
 
-        # one-hot over the row index (i, v, j) and one MXU matmul
+        # one-hot over the row index (i, v, j) and one MXU matmul per batch
+        # chunk (the transient one-hot is B*N*baseKS*dc bf16 — chunking keeps
+        # the peak under ~1 GB so 8k+ batches fit in HBM)
         v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
-        oh = (d[:, :, None, :] == v_iota).astype(jnp.bfloat16)
-        oh = oh.reshape(B, N * base_ks * digit_count)
-        sums = jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+        row_bytes = N * base_ks * digit_count * 2
+        chunk = max(256, min(B, (1 << 30) // row_bytes))
+
+        def chunk_sums(d_c):
+            oh = (d_c[:, :, None, :] == v_iota).astype(jnp.bfloat16)
+            oh = oh.reshape(d_c.shape[0], N * base_ks * digit_count)
+            return jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+
+        if B <= chunk:
+            sums = chunk_sums(d)
+        else:
+            n_chunks = (B + chunk - 1) // chunk
+            pad = n_chunks * chunk - B
+            d_p = jnp.pad(d, ((0, pad), (0, 0), (0, 0)))
+            sums = jax.lax.map(chunk_sums,
+                               d_p.reshape(n_chunks, chunk, N, digit_count))
+            sums = sums.reshape(n_chunks * chunk, L * (n + 1))[:B]
         sums = sums.astype(jnp.uint32).reshape(B, L, n + 1)   # exact integers
 
         # recombine limbs mod qKS (lazy Shoup, single Barrett reduce)
