@@ -28,7 +28,7 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny TOY run to validate the pipeline end-to-end")
