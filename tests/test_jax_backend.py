@@ -139,3 +139,22 @@ def test_accelerated_logq11_gate_bit_exact():
     assert np.array_equal(np.asarray(cc.decrypt(sk, dev_out)), 1 - (m1 & m2))
     assert np.array_equal(np.asarray(ref_out.a), np.asarray(dev_out.a))
     assert np.array_equal(np.asarray(ref_out.b), np.asarray(dev_out.b))
+
+
+def test_accelerated_logq11_floor_bit_exact():
+    """EvalFloor through the mixed pipeline (u32 rotation + 2^35 key switch)
+    == oracle, bit for bit (the time-estimate floor configuration)."""
+    cc = BinFHEContext(seed=18)
+    cc.generate_binfhe_context(ParamSet.TOY, arb_func=False, log_q=11)
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    p = cc.get_max_plaintext_space()
+    m = np.array([1, p // 2, p - 1])
+    ct = cc.encrypt(sk, m, "FRESH", p)
+    ref_out = cc.eval_floor(ct, 1)
+    cc.device_setup()
+    dev_out = cc.eval_floor(ct, 1)
+    cc.device_clean()
+    assert np.array_equal(np.asarray(ref_out.a), np.asarray(dev_out.a))
+    assert np.array_equal(np.asarray(ref_out.b), np.asarray(dev_out.b))
+    assert np.array_equal(np.asarray(cc.decrypt(sk, dev_out, p // 2)), m // 2)
