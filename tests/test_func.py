@@ -140,6 +140,70 @@ def test_ciphertext_mul_matrix(arb_ctx):
         assert int(out.b[j]) == want_b
 
 
+def test_ciphertext_mul_matrix_device(arb_ctx):
+    """Device (int8-limb MXU) GEMM matches the exact host path bit-for-bit,
+    including big signed entries and the 54-bit ring modulus."""
+    from tfhe_tpu.ops.lweops import (ciphertext_mul_matrix,
+                                     ciphertext_mul_matrix_device)
+    cc, sk = arb_ctx
+    p = cc.get_max_plaintext_space()
+    rng = np.random.default_rng(1)
+    for mod in (cc.params.lwe.q_ks, int(cc.params.lwe.Q)):
+        K, M = 16, 8
+        msgs = np.arange(K) % p
+        cts = cc.encrypt(sk, msgs, "FRESH", p, cc.params.lwe.q_ks)
+        matrix = rng.integers(-(1 << 40), 1 << 40, (K, M))
+        want = ciphertext_mul_matrix(cts, matrix, mod)
+        got = ciphertext_mul_matrix_device(cts, matrix, mod)
+        np.testing.assert_array_equal(got.a, want.a)
+        np.testing.assert_array_equal(got.b, want.b)
+
+
+def test_eval_sign_restores_base_g_on_error(floor_ctx):
+    """A failure mid-EvalSign must not leave the context's gadget base switched
+    (scheme.py try/finally around change_base_g)."""
+    from tfhe_tpu import scheme
+
+    cc, sk = floor_ctx
+    base_before = cc.params.rgsw.base_g
+
+    class Boom(Exception):
+        pass
+
+    class FailingBackend:
+        def setup(self, params, key):
+            pass
+
+        def eval_acc(self, *a, **k):
+            raise Boom()
+
+        def mkm_switch(self, *a, **k):
+            raise Boom()
+
+    ct = cc.encrypt(sk, 1, "FRESH", cc.get_max_plaintext_space() * 4, 1 << 14)
+    keys = {base_before: cc.bt_key}
+    with pytest.raises(Boom):
+        scheme.eval_sign(FailingBackend(), cc.params, keys, ct, cc.get_beta())
+    assert cc.params.rgsw.base_g == base_before
+    with pytest.raises(Boom):
+        scheme.eval_decomp(FailingBackend(), cc.params, keys, ct, cc.get_beta())
+    assert cc.params.rgsw.base_g == base_before
+
+
+def test_gate_test_poly_rejects_bad_modulus():
+    """2N % q != 0 must raise, not silently mis-index (host-path guard)."""
+    from tfhe_tpu import scheme
+    from tfhe_tpu.params import Gate
+
+    cc = BinFHEContext(seed=3)
+    cc.generate_binfhe_context(ParamSet.TOY)
+    with pytest.raises(ValueError):
+        scheme._gate_test_poly(cc.params, Gate.AND, np.array([1]), 3 * 100)
+    with pytest.raises(ValueError):
+        scheme._func_test_poly(cc.params, np.array([1]), 3 * 100, 8,
+                               lambda x, q, Q: x)
+
+
 def test_lut_classification():
     from tfhe_tpu.scheme import check_input_function
     q = 16

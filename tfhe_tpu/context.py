@@ -155,8 +155,11 @@ class BinFHEContext:
                               matrix: np.ndarray, modulus: int) -> lwe.LWECiphertext:
         """Batched LWE x integer-matrix product (lwe-operation.cu:50-141):
         K input ciphertexts x [K, M] int64 matrix -> M output ciphertexts,
-        component-wise mod `modulus`."""
-        from .ops.lweops import ciphertext_mul_matrix
+        component-wise mod `modulus`. Runs on the accelerator (exact int8-limb
+        MXU matmuls) when device_setup is active, else the exact host path."""
+        from .ops.lweops import ciphertext_mul_matrix, ciphertext_mul_matrix_device
+        if not isinstance(self._backend, RefBackend):
+            return ciphertext_mul_matrix_device(cts, matrix, modulus)
         return ciphertext_mul_matrix(cts, matrix, modulus)
 
     # -- helpers -----------------------------------------------------------

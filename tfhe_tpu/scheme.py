@@ -92,6 +92,9 @@ def _gate_test_poly(params: BinFHEParams, gate: Gate, b: np.ndarray, q: int) -> 
         in_win = ~((temp >= q2) & (temp < q1))
     vals = np.where(in_win, Q8neg, Q8)
 
+    if (2 * N) % q:
+        raise ValueError(
+            f"ciphertext modulus q={q} must divide 2N={2 * N} for bootstrapping")
     factor = 2 * N // q
     m = _zeros_modQ((len(b), N), Q)
     m[:, j.astype(np.int64) * factor] = vals if m.dtype != object else vals.astype(object)
@@ -109,6 +112,9 @@ def _func_test_poly(params: BinFHEParams, b: np.ndarray, ct_mod: int, fmod: int,
     temp = (b[:, None] + np.uint64(ct_mod) - j[None, :]) % np.uint64(ct_mod)
     fv = f(temp, ct_mod, fmod)                                        # [B, half]
     scale = Q // fmod
+    if (2 * N) % ct_mod:
+        raise ValueError(
+            f"ciphertext modulus {ct_mod} must divide 2N={2 * N} for bootstrapping")
     factor = 2 * N // ct_mod
     m = _zeros_modQ((len(b), N), Q)
     if m.dtype == object:
@@ -422,29 +428,31 @@ def eval_sign(backend: Backend, params: BinFHEParams, keys: dict[int, BTKey],
     cur_key = keys[cur_base]
 
     cttmp = ctb.copy()
-    while mod > q:
-        cttmp = eval_floor(backend, params, cur_key, cttmp, beta)
-        cttmp, _ = _as_batch(cttmp)
-        mod = mod // q * 2 * beta
-        cttmp = lwe.mod_switch(mod, cttmp)
-        if len(keys) == 3:
-            bin_log = int(math.ceil(math.log2(mod)))
-            base = 0
-            if bin_log <= 17:
-                base = 1 << 27
-            elif bin_log <= 26:
-                base = 1 << 18
-            if base != 0:
-                rgsw_p.change_base_g(base)
-                cur_key = keys[base]
-    lwe.add_const_eq(cttmp, beta)
+    try:
+        while mod > q:
+            cttmp = eval_floor(backend, params, cur_key, cttmp, beta)
+            cttmp, _ = _as_batch(cttmp)
+            mod = mod // q * 2 * beta
+            cttmp = lwe.mod_switch(mod, cttmp)
+            if len(keys) == 3:
+                bin_log = int(math.ceil(math.log2(mod)))
+                base = 0
+                if bin_log <= 17:
+                    base = 1 << 27
+                elif bin_log <= 26:
+                    base = 1 << 18
+                if base != 0:
+                    rgsw_p.change_base_g(base)
+                    cur_key = keys[base]
+        lwe.add_const_eq(cttmp, beta)
 
-    def f3(x, fq, fQ):
-        return np.where(x.astype(np.uint64) < fq // 2, np.uint64(fQ // 4),
-                        np.uint64(fQ - fQ // 4))
+        def f3(x, fq, fQ):
+            return np.where(x.astype(np.uint64) < fq // 2, np.uint64(fQ // 4),
+                            np.uint64(fQ - fQ // 4))
 
-    out = bootstrap_func(backend, params, cur_key, cttmp, f3, q)
-    rgsw_p.change_base_g(cur_base)
+        out = bootstrap_func(backend, params, cur_key, cttmp, f3, q)
+    finally:
+        rgsw_p.change_base_g(cur_base)
     outb, _ = _as_batch(out)
     lwe.sub_const_eq(outb, q >> 2)
     return _unbatch(outb, was_scalar)
@@ -465,24 +473,26 @@ def eval_decomp(backend: Backend, params: BinFHEParams, keys: dict[int, BTKey],
 
     cttmp = ctb.copy()
     ret: list[lwe.LWECiphertext] = []
-    while mod > q:
-        ctq = cttmp.copy()
-        ctq.set_modulus(q)
-        ret.append(_unbatch(ctq, was_scalar))
-        cttmp = eval_floor(backend, params, cur_key, cttmp, beta)
-        cttmp, _ = _as_batch(cttmp)
-        mod = mod // q * 2 * beta
-        cttmp = lwe.mod_switch(mod, cttmp)
-        if len(keys) == 3:
-            bin_log = int(math.ceil(math.log2(mod)))
-            base = 0
-            if bin_log <= 17:
-                base = 1 << 27
-            elif bin_log <= 26:
-                base = 1 << 18
-            if base != 0:
-                rgsw_p.change_base_g(base)
-                cur_key = keys[base]
-    rgsw_p.change_base_g(cur_base)
+    try:
+        while mod > q:
+            ctq = cttmp.copy()
+            ctq.set_modulus(q)
+            ret.append(_unbatch(ctq, was_scalar))
+            cttmp = eval_floor(backend, params, cur_key, cttmp, beta)
+            cttmp, _ = _as_batch(cttmp)
+            mod = mod // q * 2 * beta
+            cttmp = lwe.mod_switch(mod, cttmp)
+            if len(keys) == 3:
+                bin_log = int(math.ceil(math.log2(mod)))
+                base = 0
+                if bin_log <= 17:
+                    base = 1 << 27
+                elif bin_log <= 26:
+                    base = 1 << 18
+                if base != 0:
+                    rgsw_p.change_base_g(base)
+                    cur_key = keys[base]
+    finally:
+        rgsw_p.change_base_g(cur_base)
     ret.append(_unbatch(cttmp, was_scalar))
     return ret
