@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from tfhe_tpu import BinFHEContext, Gate, ParamSet
+from tfhe_tpu import params as params_mod
 from tfhe_tpu import scheme
 from tfhe_tpu.ops.backend import JaxBackend
 from tfhe_tpu.ref.backend import RefBackend
@@ -119,6 +120,56 @@ def test_two_limb_gate_bit_exact(ctx54):
     dev = scheme.eval_bin_gate(JaxBackend(), cc.params, Gate.OR, cc.bt_key, ct1, ct2)
     np.testing.assert_array_equal(ref.a, dev.a)
     np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+
+
+@pytest.fixture(scope="module")
+def ctx_rns(request):
+    """Composite two-prime ring modulus (the TPU-native RNS form of the
+    accelerated 54-bit sets, params.from_gpu_style) scaled down to N=256 so
+    the Pallas RNS kernel runs in interpret mode: Q = q1*q2 ~ 2^34 with
+    27-bit-class lanes replaced by 17-bit lanes, qKS = 2^35."""
+    import os
+    from tfhe_tpu.params import BinFHEParams, LWEParams, RGSWParams
+    from tfhe_tpu.utils.numtheory import ntt_prime, previous_prime
+
+    old = os.environ.get("TFHE_TPU_PALLAS")
+    os.environ["TFHE_TPU_PALLAS"] = "1"
+    request.addfinalizer(lambda: (os.environ.__setitem__("TFHE_TPU_PALLAS", old)
+                                  if old is not None
+                                  else os.environ.pop("TFHE_TPU_PALLAS", None)))
+    N, q = 256, 512
+    q1 = ntt_prime(17, 2 * N)
+    q2 = previous_prime(q1, 2 * N)
+    Q = q1 * q2
+    params = BinFHEParams(
+        lwe=LWEParams(n=8, N=N, q=q, Q=Q, q_ks=1 << 35, std=3.19, base_ks=32),
+        rgsw=RGSWParams(N=N, Q=Q, q=q, base_g=1 << 7, base_r=23,
+                        method=params_mod.Method.GINX, std=3.19, sign_eval=True))
+    assert params.rgsw.rns_primes == (q1, q2)
+    cc = BinFHEContext(seed=4242)
+    cc.params = params
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    return cc, sk
+
+
+def test_rns_gate_bit_exact_vs_oracle(ctx_rns):
+    """RNS two-lane Pallas pipeline (interpret mode) == host oracle at the
+    composite ring modulus, bit for bit, through the whole gate bootstrap."""
+    cc, sk = ctx_rns
+    be = JaxBackend()
+    assert be._use_rns(cc.params) and be.supports(cc.params)
+    m1 = np.array([0, 1, 1, 0])
+    m2 = np.array([1, 1, 0, 0])
+    ct1 = cc.encrypt(sk, m1)
+    ct2 = cc.encrypt(sk, m2)
+    ref = scheme.eval_bin_gate(RefBackend(), cc.params, Gate.NAND, cc.bt_key,
+                               ct1, ct2)
+    dev = scheme.eval_bin_gate(be, cc.params, Gate.NAND, cc.bt_key, ct1, ct2)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    np.testing.assert_array_equal(
+        np.asarray(cc.decrypt(sk, dev), dtype=np.int64), 1 - (m1 & m2))
 
 
 def test_accelerated_logq11_gate_bit_exact():

@@ -80,6 +80,48 @@ def test_pallas_rotate64_matches_jnp(throw):
     assert np.array_equal(want, got)
 
 
+@pytest.mark.parametrize("throw", [0, 1])
+def test_pallas_rotate_rns_matches_two_limb(throw):
+    """RNS (two-prime) kernel vs the two-limb XLA path at the same composite
+    Q = q1*q2: bit-exact after CRT recombination."""
+    from tfhe_tpu.ops.blindrotate64 import build_blind_rotate64
+    from tfhe_tpu.ops import pallas_rotate_rns as prr
+    from tfhe_tpu.ops import modmath64 as mm64
+    from tfhe_tpu.utils.numtheory import previous_prime
+
+    N, n, B = 128, 5, 8
+    q1 = ntt_prime(27, 2 * N)
+    q2 = previous_prime(q1, 2 * N)
+    Q = q1 * q2
+    base_g, digits = 1 << 20, 3
+    digits_eff = digits - throw
+    d2 = 2 * digits_eff
+    rng = np.random.default_rng(7)
+    acc = rng.integers(0, Q, (B, 2, N)).astype(np.uint64)
+    a_idx = rng.integers(0, 2 * N, (B, n)).astype(np.int32)
+    bsk_coeff = rng.integers(0, Q, (n, 2, d2, 2, N)).astype(np.uint64)
+    bsk_hat = ref_ntt.forward(bsk_coeff, Q)
+
+    alo, ahi = mm64.pack_host(acc)
+    blo, bhi = mm64.pack_host(bsk_hat)
+    slo, shi = mm64.shoup64(bsk_hat, Q)
+    fn = build_blind_rotate64(N, Q, base_g, digits_eff, throw, n)
+    want = fn(alo, ahi, a_idx, blo, bhi, slo, shi)
+    want = mm64.unpack_host(np.asarray(want[0]), np.asarray(want[1]))
+
+    rfn = prr.build_pallas_rotate_rns(N, q1, q2, base_g, digits_eff, throw, n,
+                                      BT=8, bt=4)
+    o1, o2 = rfn((acc % np.uint64(q1)).astype(np.uint32),
+                 (acc % np.uint64(q2)).astype(np.uint32),
+                 a_idx, prr.pack_bsk_rns(bsk_coeff, q1, q2))
+    r1 = np.asarray(o1).astype(np.uint64)
+    r2 = np.asarray(o2).astype(np.uint64)
+    t = (r1 + np.uint64(q1) - r2 % np.uint64(q1)) % np.uint64(q1)
+    t = t * np.uint64(pow(q2, -1, q1)) % np.uint64(q1)
+    got = r2 + np.uint64(q2) * t
+    assert np.array_equal(want, got)
+
+
 def test_gate_e2e_pallas_backend(monkeypatch):
     """Full NAND truth table through the Pallas pipeline vs the host oracle."""
     monkeypatch.setenv("TFHE_TPU_PALLAS", "1")

@@ -43,7 +43,8 @@ class BinFHEContext:
                                 N: int = 0,
                                 time_optimization: bool = False,
                                 base_g: int = 0,
-                                num_digits_to_throw: int = 0) -> None:
+                                num_digits_to_throw: int = 0,
+                                rns_modulus: bool | None = None) -> None:
         """Classic-table form when only (set, method) are given
         (binfhecontext.cpp:115-181); the batched/accelerated form when
         arb_func/log_q are provided (binfhecontext.cpp:51-113)."""
@@ -55,7 +56,8 @@ class BinFHEContext:
         else:
             self.params = params_mod.from_gpu_style(
                 param_set, bool(arb_func), 11 if log_q is None else log_q, N,
-                method, time_optimization, base_g, num_digits_to_throw)
+                method, time_optimization, base_g, num_digits_to_throw,
+                rns_modulus)
             self._time_optimization = time_optimization
 
     def generate_binfhe_context_custom(self, n: int, N: int, q: int, Q: int,

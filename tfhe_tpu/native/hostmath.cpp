@@ -44,6 +44,20 @@ inline u64 powmod(u64 a, u64 e, u64 q) {
 
 inline u64 shoup(u64 b, u64 q) { return (u64)(((u128)b << 64) / q); }
 
+// modular inverse by extended Euclid — valid for composite moduli too (the
+// RNS ring modulus Q = q1*q2 of the accelerated sets is not prime)
+inline u64 invmod(u64 a, u64 q) {
+    i64 t = 0, newt = 1;
+    i64 r = (i64)q, newr = (i64)(a % q);
+    while (newr != 0) {
+        i64 quot = r / newr;
+        i64 tmp = t - quot * newt; t = newt; newt = tmp;
+        tmp = r - quot * newr; r = newr; newr = tmp;
+    }
+    if (t < 0) t += (i64)q;
+    return (u64)t;
+}
+
 // (a * b) mod q with precomputed b_sh = floor(b * 2^64 / q); a < q required.
 inline u64 mulmod_shoup(u64 a, u64 b, u64 b_sh, u64 q) {
     u64 t = (u64)(((u128)a * b_sh) >> 64);
@@ -73,10 +87,10 @@ Tables* get_tables(i64 N, u64 Q, u64 psi) {
     Tables* t = new Tables;
     t->N = N;
     t->Q = Q;
-    u64 psi_inv = powmod(psi, Q - 2, Q);
+    u64 psi_inv = invmod(psi, Q);
     u64 omega = mulmod(psi, psi, Q);
-    u64 omega_inv = powmod(omega, Q - 2, Q);
-    u64 n_inv = powmod((u64)N, Q - 2, Q);
+    u64 omega_inv = invmod(omega, Q);
+    u64 n_inv = invmod((u64)N, Q);
 
     int logn = 0;
     while ((i64(1) << logn) < N) logn++;

@@ -39,6 +39,7 @@ from .keyswitch64 import build_mkm_switch64, pack_ksk64
 from .blindrotate_dm import build_dm_rotate, dm_digits, pack_dm_table
 from .pallas_rotate import build_pallas_rotate, pack_bsk
 from .pallas_rotate64 import build_pallas_rotate64, pack_bsk64
+from .pallas_rotate_rns import build_pallas_rotate_rns, pack_bsk_rns
 import functools
 import os
 
@@ -212,6 +213,47 @@ def build_gate_pipeline64_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
     return pipe
 
 
+def _crt_combine_pair(o1, o2, q1: int, q2: int):
+    """Garner CRT on device: residue lanes (o1 mod q1, o2 mod q2) -> uint32
+    pair (lo, hi) of the value mod Q = q1*q2. Exact for q2 < q1 < 2^28."""
+    c12 = pow(q2, -1, q1)
+    c12_sh = int((c12 << 32) // q1)
+    uq2 = np.uint32(q2)
+    diff = mm.submod(o1, o2, q1)            # o2 < q2 < q1
+    t = mm.mulmod_shoup(diff, np.uint32(c12), np.uint32(c12_sh), q1)
+    lo = t * uq2 + o2                       # wrapping uint32
+    carry = (lo < o2).astype(jnp.uint32)
+    hi = mm.mulhi32(t, uq2) + carry
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=None)
+def build_gate_pipeline_rns(N: int, q1: int, q2: int, base_g: int,
+                            digits_g_eff: int, throw: int, n: int, q_ks: int,
+                            base_ks: int, digit_count: int, fmod: int,
+                            add_q8: bool):
+    """Fused pipeline for the RNS composite ring modulus Q = q1*q2 (the
+    TPU-native form of the accelerated 54-bit sets, params.from_gpu_style):
+    single-limb two-lane Pallas rotation, in-graph Garner CRT recombination,
+    then the two-limb transpose/extract + fused mod/key/mod switch."""
+    blind = build_pallas_rotate_rns(N, q1, q2, base_g, digits_g_eff, throw, n)
+    Q = q1 * q2
+    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = Q // 8 + 1
+    q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
+
+    @jax.jit
+    def pipe(acc1, acc2, a_idx, bsk_rns, ksk_bf):
+        o1, o2 = blind(acc1, acc2, a_idx, bsk_rns)
+        lo, hi = _crt_combine_pair(o1, o2, q1, q2)
+        a_t, b = transpose_extract64((lo, hi), Q)
+        if add_q8:
+            b = mm64.addmod64(b, q8p, Q)
+        return mkm(a_t[0], a_t[1], b[0], b[1], ksk_bf)
+
+    return pipe
+
+
 class JaxBackend:
     """Implements the `scheme.Backend` protocol on JAX devices.
 
@@ -295,6 +337,26 @@ class JaxBackend:
                 and p.q_ks & (p.q_ks - 1) == 0
                 and p.base_ks & (p.base_ks - 1) == 0)
 
+    def _use_rns(self, params: BinFHEParams) -> bool:
+        """RNS two-lane Pallas rotation for composite Q = q1*q2 (the
+        TPU-native accelerated 54-bit sets): ~4x the two-limb path because
+        every multiply is single-limb u32."""
+        env = os.environ.get("TFHE_TPU_PALLAS", "")
+        if env == "0" or self._is_small(params):
+            return False
+        rg = params.rgsw
+        pr = rg.rns_primes
+        if rg.method != Method.GINX or pr is None:
+            return False
+        q1, q2 = pr
+        d2 = 2 * (rg.digits_g - rg.num_digits_to_throw)
+        fits = (q2 < q1 < (1 << 28) and (2 * q1 - 1) * d2 < (1 << 32)
+                and rg.base_g <= (1 << 27) and (rg.base_g >> 1) < q2
+                and rg.N % 128 == 0)
+        if env == "1":
+            return fits
+        return fits and jax.default_backend() == "tpu"
+
     def _use_pallas64(self, params: BinFHEParams) -> bool:
         env = os.environ.get("TFHE_TPU_PALLAS", "")
         if env == "0" or self._is_small(params):
@@ -341,12 +403,17 @@ class JaxBackend:
             return self._device_keys[cache_id]
         p = params.lwe
         Q = p.Q
-        # evaluation-domain BSkey + Shoup companions (host, vectorized NTT)
-        bsk_hat = ref_ntt.forward(np.asarray(key.bsk_coeff, dtype=np.uint64), Q)
+
+        @functools.lru_cache(maxsize=1)
+        def bsk_hat_of():
+            # evaluation-domain BSkey (host, vectorized NTT); skipped entirely
+            # on the RNS path, which transforms per-prime lanes instead
+            return ref_ntt.forward(np.asarray(key.bsk_coeff, dtype=np.uint64), Q)
+
         if params.rgsw.method == Method.AP:
             dk = {
                 "small": True,
-                "dm_table": self._replicate(pack_dm_table(bsk_hat, Q)),
+                "dm_table": self._replicate(pack_dm_table(bsk_hat_of(), Q)),
                 "ksk_bf": self._replicate(pack_ksk(
                     np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
                     np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
@@ -362,9 +429,9 @@ class JaxBackend:
                 "small": False,
                 "mixed": True,
                 "mixed_pallas": pallas_ok,
-                "bsk_pack": self._replicate(pack_bsk(bsk_hat, Q)) if pallas_ok else None,
-                "bsk": None if pallas_ok else self._replicate(bsk_hat.astype(np.uint32)),
-                "bsk_sh": None if pallas_ok else self._replicate(mm.shoup(bsk_hat, Q)),
+                "bsk_pack": self._replicate(pack_bsk(bsk_hat_of(), Q)) if pallas_ok else None,
+                "bsk": None if pallas_ok else self._replicate(bsk_hat_of().astype(np.uint32)),
+                "bsk_sh": None if pallas_ok else self._replicate(mm.shoup(bsk_hat_of(), Q)),
                 "ksk_bf": self._replicate(pack_ksk64(
                     np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
                     np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
@@ -373,9 +440,9 @@ class JaxBackend:
             use_pallas = self._use_pallas(params)
             dk = {
                 "small": True,
-                "bsk": None if use_pallas else self._replicate(bsk_hat.astype(np.uint32)),
-                "bsk_sh": None if use_pallas else self._replicate(mm.shoup(bsk_hat, Q)),
-                "bsk_pack": self._replicate(pack_bsk(bsk_hat, Q)) if use_pallas else None,
+                "bsk": None if use_pallas else self._replicate(bsk_hat_of().astype(np.uint32)),
+                "bsk_sh": None if use_pallas else self._replicate(mm.shoup(bsk_hat_of(), Q)),
+                "bsk_pack": self._replicate(pack_bsk(bsk_hat_of(), Q)) if use_pallas else None,
                 "ksk_bf": self._replicate(pack_ksk(
                     np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
                     np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
@@ -388,11 +455,15 @@ class JaxBackend:
                 "small": False,
                 "ksk_bf": self._replicate(pack_ksk64(ka, kb, p.q_ks)),
             }
-            if use_pallas:
-                dk["bsk_sh_pack"] = self._replicate(pack_bsk64(bsk_hat, Q))
+            if self._use_rns(params):
+                q1, q2 = params.rgsw.rns_primes
+                dk["bsk_rns"] = self._replicate(pack_bsk_rns(
+                    np.asarray(key.bsk_coeff, dtype=np.uint64), q1, q2))
+            elif use_pallas:
+                dk["bsk_sh_pack"] = self._replicate(pack_bsk64(bsk_hat_of(), Q))
             else:
-                b_lo, b_hi = mm64.pack_host(bsk_hat)
-                s_lo, s_hi = mm64.shoup64(bsk_hat, Q)
+                b_lo, b_hi = mm64.pack_host(bsk_hat_of())
+                s_lo, s_hi = mm64.shoup64(bsk_hat_of(), Q)
                 dk.update({
                     "bsk_lo": self._replicate(b_lo), "bsk_hi": self._replicate(b_hi),
                     "bsk_sh_lo": self._replicate(s_lo), "bsk_sh_hi": self._replicate(s_hi),
@@ -463,6 +534,20 @@ class JaxBackend:
                 out = fn(self._shard_batch(acc.astype(np.uint32)),
                          self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
             return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
+        if dk.get("bsk_rns") is not None:
+            q1, q2 = rg.rns_primes
+            fn = self._shard_pallas(
+                build_pallas_rotate_rns(N, q1, q2, rg.base_g, digits_eff,
+                                        rg.num_digits_to_throw, params.lwe.n),
+                n_batch_args=3, n_out=2)
+            o1, o2 = fn(self._shard_batch((acc % np.uint64(q1)).astype(np.uint32)),
+                        self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
+                        self._shard_batch(a_idx), dk["bsk_rns"])
+            r1 = np.asarray(jax.device_get(o1)).astype(np.uint64)
+            r2 = np.asarray(jax.device_get(o2)).astype(np.uint64)
+            t = (r1 + np.uint64(q1) - r2 % np.uint64(q1)) % np.uint64(q1)
+            t = t * np.uint64(pow(q2, -1, q1)) % np.uint64(q1)
+            return (r2 + np.uint64(q2) * t)[:B]
         lo, hi = mm64.pack_host(acc)
         if dk.get("bsk_sh_pack") is not None:
             fn = self._shard_pallas(
@@ -591,6 +676,21 @@ class JaxBackend:
                 a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
                                   self._shard_batch(a_idx),
                                   *key_args, dk["ksk_bf"])
+                return lwe.LWECiphertext(
+                    np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
+                    np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
+                    int(fmod))
+            if dk.get("bsk_rns") is not None:
+                q1, q2 = rg.rns_primes
+                fn = self._shard_pallas(build_gate_pipeline_rns(
+                    rg.N, q1, q2, rg.base_g, digits_eff,
+                    rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
+                    p.digit_count_ks, int(fmod), bool(add_q8)),
+                    n_batch_args=3, n_out=2)
+                a_out, b_out = fn(
+                    self._shard_batch((acc % np.uint64(q1)).astype(np.uint32)),
+                    self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
+                    self._shard_batch(a_idx), dk["bsk_rns"], dk["ksk_bf"])
                 return lwe.LWECiphertext(
                     np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
                     np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),

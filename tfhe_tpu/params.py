@@ -15,11 +15,12 @@ Mirrors the reference's three `GenerateBinFHEContext` overloads
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from enum import IntEnum
 
-from .utils.numtheory import ntt_prime, root_of_unity
+from .utils.numtheory import is_prime, ntt_prime, previous_prime, root_of_unity
 from .utils.stdlattice import find_ring_dim
 
 
@@ -92,6 +93,17 @@ SIGN_EVAL_BASES = (1 << 14, 1 << 18, 1 << 27)
 BETA = 128  # fixed noise bound used by functional bootstrapping (binfhecontext.h:348-350)
 
 
+@functools.lru_cache(maxsize=None)
+def _rns_factors(Q: int) -> tuple[int, int] | None:
+    if Q < (1 << 31) or is_prime(Q):
+        return None
+    from .utils.numtheory import _factorize
+    factors = _factorize(Q)
+    if len(factors) == 2 and factors[0] * factors[1] == Q and factors[1] < (1 << 28):
+        return (factors[1], factors[0])  # (larger, smaller)
+    return None
+
+
 def _digit_count(modulus: int, base: int) -> int:
     """ceil(log(modulus)/log(base)) computed in float64, exactly as the reference
     does with std::ceil/std::log (lwe-pke.cpp:226, rgsw-cryptoparameters.h:87)."""
@@ -160,6 +172,12 @@ class RGSWParams:
         return self.g_power_map[self.base_g]
 
     @property
+    def rns_primes(self) -> tuple[int, int] | None:
+        """(q1, q2) with q1 > q2 when Q is a two-prime RNS composite (each
+        factor < 2^28 so single-limb u32 device lanes apply), else None."""
+        return _rns_factors(self.Q)
+
+    @property
     def digits_g2(self) -> int:
         return (self.digits_g - self.num_digits_to_throw) * 2
 
@@ -211,12 +229,22 @@ def from_param_set(param_set: ParamSet, method: Method = Method.GINX) -> BinFHEP
 def from_gpu_style(param_set: ParamSet, arb_func: bool = False, log_q: int = 11,
                    N: int = 0, method: Method = Method.GINX,
                    time_optimization: bool = False, base_g: int = 0,
-                   num_digits_to_throw: int = 0) -> BinFHEParams:
+                   num_digits_to_throw: int = 0,
+                   rns_modulus: bool | None = None) -> BinFHEParams:
     """The batched/accelerated constructor (binfhecontext.cpp:51-113).
 
-    Derives a 54-bit ring prime (27-bit when logQ == 11), the minimum standard
-    ring dimension for 128-bit classic security, q = 2*ringDim (ringDim when
-    arbFunc), qKS = 2^35, and n = 1305 (32 for TOY).
+    Derives a 54-bit ring modulus (27-bit when logQ == 11), the minimum
+    standard ring dimension for 128-bit classic security, q = 2*ringDim
+    (ringDim when arbFunc), qKS = 2^35, and n = 1305 (32 for TOY).
+
+    TPU-native deviation (documented in docs/PARITY.md): by default the 54-bit
+    ring modulus is the *composite* Q = q1*q2 of the two largest 27-bit NTT
+    primes ≡ 1 (mod 2N), not the reference's single 54-bit prime
+    (binfhecontext.cpp:95). The scheme only needs Q's magnitude and a 2N-th
+    root of unity (which exists mod q1*q2 by CRT), and the RNS form lets the
+    TPU run the entire blind rotation in single-limb u32 lanes instead of
+    emulated 64-bit pairs — ~4x faster. Pass rns_modulus=False for the
+    reference's single-prime modulus.
     """
     if method != Method.GINX:
         raise NotImplementedError("CGGI is the only supported method")
@@ -242,7 +270,14 @@ def from_gpu_style(param_set: ParamSet, arb_func: bool = False, log_q: int = 11,
     ring_dim = find_ring_dim("128_classic", log_q_prime)
     if N >= ring_dim:
         ring_dim = N
-    Q = ntt_prime(log_q_prime, 2 * ring_dim)
+    if rns_modulus is None:
+        rns_modulus = log_q_prime == 54
+    if rns_modulus and log_q_prime == 54:
+        q1 = ntt_prime(27, 2 * ring_dim)
+        q2 = previous_prime(q1, 2 * ring_dim)
+        Q = q1 * q2
+    else:
+        Q = ntt_prime(log_q_prime, 2 * ring_dim)
     q = ring_dim if arb_func else 2 * ring_dim
     q_ks = 1 << 35
     n = 32 if param_set == ParamSet.TOY else 1305

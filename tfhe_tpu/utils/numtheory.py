@@ -125,10 +125,34 @@ def _factorize(n: int) -> list[int]:
 
 @functools.lru_cache(maxsize=None)
 def root_of_unity(order: int, modulus: int) -> int:
-    """A primitive `order`-th root of unity mod a prime `modulus` (order | modulus-1).
+    """A principal `order`-th root of unity mod `modulus`.
 
-    Deterministic: derived from the smallest generator of Z_modulus^*.
+    For prime moduli (order | modulus-1): derived deterministically from the
+    smallest generator of Z_modulus^*. For squarefree odd composites whose
+    prime factors are each ≡ 1 (mod order) — e.g. the TPU-native RNS ring
+    modulus Q = q1*q2 of the accelerated parameter sets — the per-prime roots
+    are CRT-combined; psi^(order/2) ≡ -1 mod every factor, so every negacyclic
+    NTT identity holds mod the composite exactly as it does mod a prime.
     """
+    if not is_prime(modulus):
+        factors = _factorize(modulus)
+        rem = modulus
+        for p in factors:
+            rem //= p
+        if rem != 1:
+            raise ValueError(f"modulus {modulus} is not squarefree")
+        root, prod = 0, 1
+        for p in factors:
+            rp = root_of_unity(order, p)
+            # CRT: root ≡ rp (mod p), keep previous residues
+            if prod == 1:
+                root, prod = rp, p
+            else:
+                inc = ((rp - root) * pow(prod, -1, p)) % p
+                root, prod = root + prod * inc, prod * p
+        assert pow(root, order, modulus) == 1
+        assert pow(root, order // 2, modulus) == modulus - 1
+        return root
     if (modulus - 1) % order != 0:
         raise ValueError(f"{order} does not divide {modulus}-1")
     phi = modulus - 1
