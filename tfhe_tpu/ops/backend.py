@@ -8,15 +8,19 @@ multipliers, and the switching key is flattened to one gatherable table —
 exactly where the reference converts its key to the cuFFTDx layout and
 flattens `KSkey[N][baseKS][digitCount]`.
 
-Three arithmetic paths, selected by modulus size and method:
-- single-limb uint32 (Q, qKS < 2^31): classic parameter sets and the
-  accelerated logQ=11 gate configuration (CGGI/GINX);
-- two-limb uint32 pairs (54-bit ring primes, qKS = 2^35): the accelerated
-  functional-bootstrapping configurations (logQ 12..29);
+Arithmetic paths, selected by modulus size and method:
+- single-limb uint32 (Q, qKS < 2^31): the small classic parameter sets and
+  the accelerated logQ=11 gate configuration (CGGI/GINX);
+- two-limb uint32 pairs for big-Q classic sets (Q in [2^31, 2^54):
+  STD192/STD128Q/STD192Q...), with the u32 key switch (qKS < 2^31, any
+  baseKS) — covering the same set breadth as the reference's GPU template
+  dispatch (bootstrapping.cu:772-871);
+- RNS two-prime lanes (composite Q = q1*q2) or two-limb pairs for the
+  accelerated 54-bit sets with qKS = 2^35;
 - DM/AP with small moduli: one-hot MXU key selection (ops/blindrotate_dm) —
   a device path the reference never shipped (its DM GPU code is commented
   out, rgsw-acc-dm.cpp:361-464).
-Remaining configurations (large-Q DM, non-power-of-two qKS > 2^32) run on
+Remaining configurations (large-Q DM, non-power-of-two qKS >= 2^31) run on
 the host oracle.
 """
 
@@ -34,7 +38,7 @@ from . import modmath32 as mm
 from . import modmath64 as mm64
 from .blindrotate32 import build_blind_rotate, transpose_extract
 from .blindrotate64 import build_blind_rotate64, transpose_extract64
-from .keyswitch32 import build_mkm_switch, pack_ksk
+from .keyswitch32 import build_mkm_switch, build_mkm_switch_from64, pack_ksk
 from .keyswitch64 import build_mkm_switch64, pack_ksk64
 from .blindrotate_dm import build_dm_rotate, dm_digits, pack_dm_table
 from .pallas_rotate import build_pallas_rotate, pack_bsk
@@ -42,6 +46,16 @@ from .pallas_rotate64 import build_pallas_rotate64, pack_bsk64
 from .pallas_rotate_rns import build_pallas_rotate_rns, pack_bsk_rns
 import functools
 import os
+
+
+def _mkm64_builder(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
+                   n: int, fmod: int):
+    """MKM switch taking uint32-pair inputs mod Q >= 2^31: the u32 key switch
+    when qKS < 2^31 (big-Q classic sets like STD192/STD128Q), else the
+    two-limb power-of-two-qKS kernel (accelerated sets, qKS = 2^35)."""
+    if q_ks < (1 << 31):
+        return build_mkm_switch_from64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    return build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
 
 
 @functools.lru_cache(maxsize=None)
@@ -177,7 +191,7 @@ def build_gate_pipeline64(N: int, Q: int, base_g: int, digits_g_eff: int, throw:
                           fmod: int, add_q8: bool):
     """Two-limb fused pipeline for 54-bit ring primes (qKS = 2^35 class)."""
     blind = build_blind_rotate64(N, Q, base_g, digits_g_eff, throw, n)
-    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    mkm = _mkm64_builder(N, Q, q_ks, base_ks, digit_count, n, fmod)
     q8 = Q // 8 + 1
     q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
 
@@ -198,7 +212,7 @@ def build_gate_pipeline64_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
                                  digit_count: int, fmod: int, add_q8: bool):
     """Two-limb pipeline with the fused Pallas rotation kernel."""
     blind = build_pallas_rotate64(N, Q, base_g, digits_g_eff, throw, n)
-    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    mkm = _mkm64_builder(N, Q, q_ks, base_ks, digit_count, n, fmod)
     q8 = Q // 8 + 1
     q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
 
@@ -238,7 +252,7 @@ def build_gate_pipeline_rns(N: int, q1: int, q2: int, base_g: int,
     then the two-limb transpose/extract + fused mod/key/mod switch."""
     blind = build_pallas_rotate_rns(N, q1, q2, base_g, digits_g_eff, throw, n)
     Q = q1 * q2
-    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    mkm = _mkm64_builder(N, Q, q_ks, base_ks, digit_count, n, fmod)
     q8 = Q // 8 + 1
     q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
 
@@ -296,13 +310,33 @@ class JaxBackend:
         if self.mesh is None:
             return jnp.asarray(x)
         from ..parallel.mesh import batch_sharding
-        return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
+        sh = batch_sharding(self.mesh, np.ndim(x))
+        if jax.process_count() > 1:
+            # multi-host: every process holds the same full host array (the
+            # host pipeline is deterministic and replicated); build the global
+            # array by slicing each device's shard out of it
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+        return jax.device_put(x, sh)
 
     def _replicate(self, x):
         if self.mesh is None:
             return jnp.asarray(x)
         from ..parallel.mesh import replicated
-        return jax.device_put(x, replicated(self.mesh))
+        sh = replicated(self.mesh)
+        if jax.process_count() > 1:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+        return jax.device_put(x, sh)
+
+    @staticmethod
+    def _to_host(x) -> np.ndarray:
+        """Fetch a (possibly cross-process sharded) device array to every
+        host: allgather over DCN when the mesh spans processes."""
+        if jax.process_count() > 1 and not getattr(x, "is_fully_addressable", True):
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
 
     # -- setup -------------------------------------------------------------
 
@@ -376,25 +410,32 @@ class JaxBackend:
             if not self._is_small(params):
                 return False
             rg = params.rgsw
+            from .blindrotate_dm import dm_limbs
             table_bytes = (params.lwe.n * len(rg.digits_r) * rg.base_r
-                           * 4 * 2 * rg.digits_g * 2 * rg.N * 2)
+                           * dm_limbs(rg.Q) * 2 * rg.digits_g * 2 * rg.N * 2)
             return table_bytes < 6e9
         if params.rgsw.method != Method.GINX:
             return False
         if self._is_small(params):
             return True
         p = params.lwe
-        # two-limb path: 54-bit primes with power-of-two qKS/baseKS
-        # (the accelerated constructor always uses qKS=2^35, baseKS=32)
-        return (p.Q < (1 << 54) and (1 << 32) < p.q_ks < (1 << 40)
+        if p.Q >= (1 << 54):
+            return False
+        # big-Q classic sets (STD192/STD128Q/STD192Q...): two-limb rotation
+        # with the u32 key switch (any baseKS)
+        if p.q_ks < (1 << 31):
+            return True
+        # accelerated sets: two-limb/RNS rotation with power-of-two qKS=2^35
+        return ((1 << 32) < p.q_ks < (1 << 40)
                 and p.q_ks & (p.q_ks - 1) == 0 and p.base_ks & (p.base_ks - 1) == 0)
 
     def setup(self, params: BinFHEParams, key) -> None:
         if not self.supports(params):
             raise NotImplementedError(
-                "JaxBackend requires GINX with Q < 2^31 (single-limb) or a "
-                "54-bit prime with power-of-two qKS/baseKS (two-limb); "
-                "other configurations run on the host oracle backend")
+                "JaxBackend requires GINX with Q < 2^54 and either qKS < 2^31 "
+                "(classic sets) or power-of-two qKS in (2^32, 2^40) "
+                "(accelerated sets), or AP with small moduli; other "
+                "configurations run on the host oracle backend")
         self._get_device_key(params, key)
 
     def _get_device_key(self, params: BinFHEParams, key) -> dict:
@@ -451,9 +492,10 @@ class JaxBackend:
             use_pallas = self._use_pallas64(params)
             ka = np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n)
             kb = np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1)
+            pack = pack_ksk if p.q_ks < (1 << 31) else pack_ksk64
             dk = {
                 "small": False,
-                "ksk_bf": self._replicate(pack_ksk64(ka, kb, p.q_ks)),
+                "ksk_bf": self._replicate(pack(ka, kb, p.q_ks)),
             }
             if self._use_rns(params):
                 q1, q2 = params.rgsw.rns_primes
@@ -503,7 +545,7 @@ class JaxBackend:
                                  params.lwe.n * len(rg.digits_r))
             out = fn(self._shard_batch(acc.astype(np.uint32)),
                      self._shard_batch(digs), dk["dm_table"])
-            return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
+            return self._to_host(out)[:B].astype(np.uint64)
         if dk["small"]:
             digits_eff = rg.digits_g - rg.num_digits_to_throw
             if dk.get("bsk_pack") is not None:
@@ -518,7 +560,7 @@ class JaxBackend:
                                         rg.num_digits_to_throw, params.lwe.n)
                 out = fn(self._shard_batch(acc.astype(np.uint32)),
                          self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
-            return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
+            return self._to_host(out)[:B].astype(np.uint64)
         digits_eff = rg.digits_g - rg.num_digits_to_throw
         if dk.get("mixed"):
             if dk["mixed_pallas"]:
@@ -533,7 +575,7 @@ class JaxBackend:
                                         rg.num_digits_to_throw, params.lwe.n)
                 out = fn(self._shard_batch(acc.astype(np.uint32)),
                          self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
-            return np.asarray(jax.device_get(out))[:B].astype(np.uint64)
+            return self._to_host(out)[:B].astype(np.uint64)
         if dk.get("bsk_rns") is not None:
             q1, q2 = rg.rns_primes
             fn = self._shard_pallas(
@@ -543,8 +585,8 @@ class JaxBackend:
             o1, o2 = fn(self._shard_batch((acc % np.uint64(q1)).astype(np.uint32)),
                         self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
                         self._shard_batch(a_idx), dk["bsk_rns"])
-            r1 = np.asarray(jax.device_get(o1)).astype(np.uint64)
-            r2 = np.asarray(jax.device_get(o2)).astype(np.uint64)
+            r1 = self._to_host(o1).astype(np.uint64)
+            r2 = self._to_host(o2).astype(np.uint64)
             t = (r1 + np.uint64(q1) - r2 % np.uint64(q1)) % np.uint64(q1)
             t = t * np.uint64(pow(q2, -1, q1)) % np.uint64(q1)
             return (r2 + np.uint64(q2) * t)[:B]
@@ -562,8 +604,8 @@ class JaxBackend:
             out_lo, out_hi = fn(self._shard_batch(lo), self._shard_batch(hi),
                                 self._shard_batch(a_idx),
                                 dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"])
-        return mm64.unpack_host(np.asarray(jax.device_get(out_lo)),
-                                np.asarray(jax.device_get(out_hi)))[:B]
+        return mm64.unpack_host(self._to_host(out_lo),
+                                self._to_host(out_hi))[:B]
 
     def mkm_switch(self, params: BinFHEParams, key, a_ext: np.ndarray,
                    b_ext: np.ndarray, fmod: int) -> lwe.LWECiphertext:
@@ -582,15 +624,15 @@ class JaxBackend:
                               self._shard_batch(b_pad.astype(np.uint32)),
                               dk["ksk_bf"])
         else:
-            fn = build_mkm_switch64(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
-                                    p.n, int(fmod))
+            fn = _mkm64_builder(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                                p.n, int(fmod))
             alo, ahi = mm64.pack_host(a_pad)
             blo, bhi = mm64.pack_host(b_pad)
             a_out, b_out = fn(self._shard_batch(alo), self._shard_batch(ahi),
                               self._shard_batch(blo), self._shard_batch(bhi),
                               dk["ksk_bf"])
-        return lwe.LWECiphertext(np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
-                                 np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
+        return lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
+                                 self._to_host(b_out)[:B].astype(np.uint64),
                                  int(fmod))
 
     def gate_bootstrap(self, params: BinFHEParams, key, gate, ct,
@@ -622,8 +664,8 @@ class JaxBackend:
         a_out, b_out = fn(self._shard_batch(a_pad), self._shard_batch(b_pad),
                           dk["bsk_pack"], dk["ksk_bf"])
         return lwe.LWECiphertext(
-            np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
-            np.asarray(jax.device_get(b_out))[:B].astype(np.uint64), int(fmod))
+            self._to_host(a_out)[:B].astype(np.uint64),
+            self._to_host(b_out)[:B].astype(np.uint64), int(fmod))
 
     def bootstrap_pipeline(self, params: BinFHEParams, key, acc_init: np.ndarray,
                            a_batch: np.ndarray, a_modulus: int, fmod: int,
@@ -677,8 +719,8 @@ class JaxBackend:
                                   self._shard_batch(a_idx),
                                   *key_args, dk["ksk_bf"])
                 return lwe.LWECiphertext(
-                    np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
-                    np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
+                    self._to_host(a_out)[:B].astype(np.uint64),
+                    self._to_host(b_out)[:B].astype(np.uint64),
                     int(fmod))
             if dk.get("bsk_rns") is not None:
                 q1, q2 = rg.rns_primes
@@ -692,8 +734,8 @@ class JaxBackend:
                     self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
                     self._shard_batch(a_idx), dk["bsk_rns"], dk["ksk_bf"])
                 return lwe.LWECiphertext(
-                    np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
-                    np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
+                    self._to_host(a_out)[:B].astype(np.uint64),
+                    self._to_host(b_out)[:B].astype(np.uint64),
                     int(fmod))
             lo, hi = mm64.pack_host(acc)
             if dk.get("bsk_sh_pack") is not None:
@@ -712,8 +754,8 @@ class JaxBackend:
                                   self._shard_batch(a_idx),
                                   dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"],
                                   dk["ksk_bf"])
-        return lwe.LWECiphertext(np.asarray(jax.device_get(a_out))[:B].astype(np.uint64),
-                                 np.asarray(jax.device_get(b_out))[:B].astype(np.uint64),
+        return lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
+                                 self._to_host(b_out)[:B].astype(np.uint64),
                                  int(fmod))
 
     # -- helpers -----------------------------------------------------------

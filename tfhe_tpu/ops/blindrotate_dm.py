@@ -26,8 +26,13 @@ from . import modmath32 as mm
 from .blindrotate32 import _decompose
 from .ntt32 import NTT32
 
-_LIMBS = 4
 _LIMB_BITS = 7
+
+
+def dm_limbs(Q: int) -> int:
+    """7-bit limbs needed to represent values < Q (5 for the 29-bit STD256
+    primes, 4 below 2^28)."""
+    return (int(Q - 1).bit_length() + _LIMB_BITS - 1) // _LIMB_BITS
 
 
 def pack_dm_table(bsk_hat: np.ndarray, Q: int) -> np.ndarray:
@@ -36,13 +41,13 @@ def pack_dm_table(bsk_hat: np.ndarray, Q: int) -> np.ndarray:
     second)."""
     import ml_dtypes
 
-    assert Q < (1 << (_LIMBS * _LIMB_BITS) + 1)
+    L = dm_limbs(Q)
     n, base_r, d_r, d2, _, N = bsk_hat.shape
     b = np.swapaxes(np.asarray(bsk_hat, dtype=np.uint64), 1, 2)  # [n, dR, baseR, ...]
     b = b.reshape(n * d_r, base_r, d2 * 2 * N)
     limbs = np.stack([((b >> np.uint64(_LIMB_BITS * l)) & np.uint64(127))
-                      .astype(np.float32) for l in range(_LIMBS)], axis=2)
-    return limbs.reshape(n * d_r, base_r, _LIMBS * d2 * 2 * N).astype(ml_dtypes.bfloat16)
+                      .astype(np.float32) for l in range(L)], axis=2)
+    return limbs.reshape(n * d_r, base_r, L * d2 * 2 * N).astype(ml_dtypes.bfloat16)
 
 
 def dm_digits(a_batch: np.ndarray, a_modulus: int, base_r: int,
@@ -64,7 +69,8 @@ def build_dm_rotate(N: int, Q: int, base_g: int, digits_g: int, base_r: int,
     """Jitted (acc [B,2,N] u32, digits [B,n_steps] i32, table bf16) -> acc."""
     ntt = NTT32(N, Q)
     d2 = 2 * digits_g
-    w = [np.uint32(pow(2, _LIMB_BITS * l, 1 << 32)) for l in range(_LIMBS)]
+    L = dm_limbs(Q)
+    w = [np.uint32(pow(2, _LIMB_BITS * l, 1 << 32)) for l in range(L)]
 
     def step_fn(step, state):
         acc, digits, table = state
@@ -73,10 +79,10 @@ def build_dm_rotate(N: int, Q: int, base_g: int, digits_g: int, base_r: int,
         oh = (a0[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, base_r), 1)).astype(jnp.bfloat16)
         sel = jnp.dot(oh, tab, preferred_element_type=jnp.float32)
-        sel = sel.astype(jnp.uint32).reshape(acc.shape[0], _LIMBS, d2, 2, N)
+        sel = sel.astype(jnp.uint32).reshape(acc.shape[0], L, d2, 2, N)
         ek = sel[:, 0]
-        for l in range(1, _LIMBS):
-            ek = ek + sel[:, l] * w[l]                     # < 2^28, exact u32
+        for l in range(1, L):
+            ek = ek + sel[:, l] * w[l]                     # < Q < 2^31, exact u32
 
         dct = _decompose(acc, Q, base_g, digits_g, 0)      # [B, d2, N]
         dct_hat = ntt.forward(dct)

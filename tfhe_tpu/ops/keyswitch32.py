@@ -55,11 +55,10 @@ def pack_ksk(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
     return packed.astype(ml_dtypes.bfloat16)                 # <= 127: exact
 
 
-@functools.lru_cache(maxsize=None)
-def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
-                     n: int, fmod: int):
-    """Returns a jitted (a_ext [B,N] u32, b_ext [B] u32,
-    ksk_bf [N*baseKS*dc, L*(n+1)] bf16) -> (a [B,n] u32, b [B] u32) mod fmod."""
+def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
+                    n: int, fmod: int):
+    """The shared u32 keyswitch + final modswitch body: takes the already
+    mod-switched (a1 [B,N], b1 [B]) residues mod qKS < 2^31."""
     L = n_limbs(q_ks)
     assert N * digit_count * 127 < (1 << 24), "f32 accumulation would be inexact"
     # limb weights 2^(7l) mod qKS with Shoup companions
@@ -69,13 +68,8 @@ def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
     pow2 = base_ks & (base_ks - 1) == 0
     ks_bits = base_ks.bit_length() - 1
 
-    @jax.jit
-    def mkm(a_ext, b_ext, ksk_bf):
-        B = a_ext.shape[0]
-        # ModSwitch Q -> qKS (exact RoundqQ)
-        a1 = mm.round_q_Q(a_ext, q_ks, Q)                     # [B, N]
-        b1 = mm.round_q_Q(b_ext, q_ks, Q)                     # [B]
-
+    def core(a1, b1, ksk_bf):
+        B = a1.shape[0]
         # base-baseKS digits, [B, N, dc]
         digs = []
         atmp = a1
@@ -123,5 +117,44 @@ def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
 
         # ModSwitch qKS -> fmod
         return mm.round_q_Q(a2, fmod, q_ks), mm.round_q_Q(b2, fmod, q_ks)
+
+    return core
+
+
+@functools.lru_cache(maxsize=None)
+def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
+                     n: int, fmod: int):
+    """Returns a jitted (a_ext [B,N] u32, b_ext [B] u32,
+    ksk_bf [N*baseKS*dc, L*(n+1)] bf16) -> (a [B,n] u32, b [B] u32) mod fmod."""
+    core = _keyswitch_core(N, q_ks, base_ks, digit_count, n, fmod)
+
+    @jax.jit
+    def mkm(a_ext, b_ext, ksk_bf):
+        # ModSwitch Q -> qKS (exact RoundqQ)
+        a1 = mm.round_q_Q(a_ext, q_ks, Q)                     # [B, N]
+        b1 = mm.round_q_Q(b_ext, q_ks, Q)                     # [B]
+        return core(a1, b1, ksk_bf)
+
+    return mkm
+
+
+@functools.lru_cache(maxsize=None)
+def build_mkm_switch_from64(N: int, Q: int, q_ks: int, base_ks: int,
+                            digit_count: int, n: int, fmod: int):
+    """MKM switch for the big-Q classic sets (STD192/STD128Q/STD192Q...):
+    ring modulus Q in [2^31, 2^62) arrives as uint32 pairs, qKS < 2^31 so the
+    key switch itself runs single-limb u32 after one exact pair RoundqQ.
+    The reference runs these sets through the same MKMSwitchKernel with its
+    int64 modulus branch (bootstrapping.cu:147, 73-118)."""
+    from . import modmath64 as mm64
+
+    assert q_ks < (1 << 31)
+    core = _keyswitch_core(N, q_ks, base_ks, digit_count, n, fmod)
+
+    @jax.jit
+    def mkm(a_lo, a_hi, b_lo, b_hi, ksk_bf):
+        a1 = mm64.round_q_Q64((a_lo, a_hi), q_ks, Q)[0]       # hi limb is 0
+        b1 = mm64.round_q_Q64((b_lo, b_hi), q_ks, Q)[0]
+        return core(a1, b1, ksk_bf)
 
     return mkm

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from . import modmath64 as mm64
 
 _LIMB_BITS = 7
+_CHUNK_BYTES = 1 << 30   # peak transient one-hot bytes (tests shrink this)
 
 
 def n_limbs64(q_ks: int) -> int:
@@ -88,11 +89,28 @@ def build_mkm_switch64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int
         b1 = mm64.round_q_Q64((b_lo, b_hi), q_ks, Q)                  # pair [B]
 
         # one-hot over (i, v, j) rows; layout matches flat = (i*baseKS+v)*dc+j
+        # (chunked exactly like keyswitch32: the transient one-hot is
+        # B*N*baseKS*dc bf16, which at batch 4096 / STD128-accelerated params
+        # would be ~4 GB — chunking keeps the peak under ~1 GB)
         d = jnp.stack([digit(a1, j) for j in range(digit_count)], axis=-1)
         v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
-        oh = (d[:, :, None, :] == v_iota).astype(jnp.bfloat16)
-        oh = oh.reshape(B, N * base_ks * digit_count)
-        sums = jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+        row_bytes = N * base_ks * digit_count * 2
+        chunk = max(8, min(B, _CHUNK_BYTES // row_bytes))
+
+        def chunk_sums(d_c):
+            oh = (d_c[:, :, None, :] == v_iota).astype(jnp.bfloat16)
+            oh = oh.reshape(d_c.shape[0], N * base_ks * digit_count)
+            return jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+
+        if B <= chunk:
+            sums = chunk_sums(d)
+        else:
+            n_chunks = (B + chunk - 1) // chunk
+            pad = n_chunks * chunk - B
+            d_p = jnp.pad(d, ((0, pad), (0, 0), (0, 0)))
+            sums = jax.lax.map(chunk_sums,
+                               d_p.reshape(n_chunks, chunk, N, digit_count))
+            sums = sums.reshape(n_chunks * chunk, L * (n + 1))[:B]
         sums = sums.astype(jnp.uint32).reshape(B, L, n + 1)           # exact
 
         acc = shl_pair(sums[:, 0], 0)

@@ -1,21 +1,30 @@
-"""Randomness for key generation and encryption (host side, numpy PCG64).
+"""Randomness for key generation and encryption (host side).
 
 Replaces the reference's Blake2XB-seeded generators
 (`src/core/include/utils/prng/blake2engine.h`,
 `src/core/lib/math/discretegaussiangenerator.cpp`,
 `ternaryuniformgenerator.cpp`, `discreteuniformgenerator.cpp`).
 
-We intentionally do NOT reproduce the reference's PRNG byte stream: parity with
-OpenFHE is defined as "same keys -> bit-identical homomorphic evaluation", not
-"same seed -> identical ciphertexts" (the reference itself never relies on
-cross-library RNG parity). The distributions match:
+Two engines:
+
+- ``engine="pcg64"`` (default): numpy PCG64. Parity with OpenFHE is defined
+  as "same keys -> bit-identical homomorphic evaluation", not "same seed ->
+  identical ciphertexts" (the reference itself never relies on cross-library
+  RNG parity).
+- ``engine="blake2xb"``: the reference's own PRNG byte stream, bit-exact
+  (utils/blake2.py, validated against blake2xb-ref.c golden vectors), for
+  keygen-parity configurations. The u32 stream matches `Blake2Engine`
+  word for word; the distribution layers on top consume that stream with
+  documented (not libstdc++-identical) algorithms.
+
+The distributions match the reference semantically:
 
 - ``discrete_gaussian``: integer Gaussian with std sigma (3.19), sampled by
   exact CDF inversion over a +-ceil(10*sigma) support (beyond the reference's
   Peikert-table tail; per-sample probability mass outside is < 2^-140).
-- ``discrete_uniform``: uniform over [0, modulus).
-- ``ternary_uniform``: uniform over {-1, 0, 1}, returned as residues mod modulus
-  like `TernaryUniformGeneratorImpl::GenerateVector`.
+- ``discrete_uniform``: uniform over [0, modulus) (mask-and-reject, unbiased).
+- ``ternary_uniform``: uniform over {-1, 0, 1}, returned as residues mod
+  modulus like `TernaryUniformGeneratorImpl::GenerateVector`.
 """
 
 from __future__ import annotations
@@ -26,9 +35,51 @@ import numpy as np
 class BinFHERng:
     """All randomness used by keygen/encryption, seeded once."""
 
-    def __init__(self, seed: int | None = None):
-        self._rng = np.random.default_rng(seed)
+    def __init__(self, seed: int | None = None, engine: str = "pcg64"):
+        self.engine = engine
+        if engine == "blake2xb":
+            from .blake2 import Blake2XbEngine
+            self._b2 = Blake2XbEngine(0 if seed is None else seed)
+            self._rng = None
+        elif engine == "pcg64":
+            self._b2 = None
+            self._rng = np.random.default_rng(seed)
+        else:
+            raise ValueError(f"unknown rng engine {engine!r}")
         self._dgg_tables: dict[float, tuple[np.ndarray, np.ndarray]] = {}
+
+    # -- engine primitives -------------------------------------------------
+
+    def _uniform01(self, size: int) -> np.ndarray:
+        """float64 uniforms in [0, 1) with 53 random bits."""
+        if self._rng is not None:
+            return self._rng.random(size)
+        w = self._b2.next_u32(2 * size).astype(np.uint64)
+        u64 = w[0::2] | (w[1::2] << np.uint64(32))
+        return (u64 >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+
+    def _uniform_below(self, size: int, bound: int) -> np.ndarray:
+        """Unbiased uniforms in [0, bound) as uint64 (bound <= 2^64)."""
+        if self._rng is not None:
+            return self._rng.integers(0, bound, size=size, dtype=np.uint64)
+        bits = max(1, int(bound - 1).bit_length())
+        words = (bits + 31) // 32
+        mask = np.uint64((1 << bits) - 1)
+        out = np.empty(size, dtype=np.uint64)
+        filled = 0
+        while filled < size:
+            k = size - filled
+            draw = self._b2.next_u32(k * words).astype(np.uint64).reshape(k, words)
+            v = draw[:, 0]
+            for w in range(1, words):
+                v = v | (draw[:, w] << np.uint64(32 * w))
+            v = v & mask
+            good = v[v < np.uint64(bound)]
+            out[filled:filled + len(good)] = good
+            filled += len(good)
+        return out
+
+    # -- distributions -----------------------------------------------------
 
     def _dgg_table(self, sigma: float) -> tuple[np.ndarray, np.ndarray]:
         if sigma not in self._dgg_tables:
@@ -45,24 +96,25 @@ class BinFHERng:
 
     def discrete_gaussian(self, size: int, sigma: float, modulus: int) -> np.ndarray:
         """Integer Gaussian errors as residues mod `modulus` (object dtype if large)."""
-        xs, cdf = self._dgg_table(sigma)
-        u = self._rng.random(size)
-        idx = np.searchsorted(cdf, u, side="right")
-        vals = xs[np.minimum(idx, len(xs) - 1)]
-        return _to_residues(vals, modulus)
+        return _to_residues(self.discrete_gaussian_signed(size, sigma), modulus)
 
     def discrete_gaussian_signed(self, size: int, sigma: float) -> np.ndarray:
         xs, cdf = self._dgg_table(sigma)
-        u = self._rng.random(size)
+        u = self._uniform01(size)
         idx = np.searchsorted(cdf, u, side="right")
         return xs[np.minimum(idx, len(xs) - 1)].astype(np.int64)
 
     def discrete_uniform(self, size: int, modulus: int) -> np.ndarray:
         if modulus <= (1 << 63):
-            return self._rng.integers(0, modulus, size=size, dtype=np.uint64)
+            return self._uniform_below(size, modulus)
         # arbitrary-width rejection-free sampling via 128-bit assembly
-        hi = self._rng.integers(0, 1 << 32, size=size, dtype=np.uint64)
-        lo = self._rng.integers(0, 1 << 64, size=size, dtype=np.uint64)
+        if self._rng is not None:
+            hi = self._rng.integers(0, 1 << 32, size=size, dtype=np.uint64)
+            lo = self._rng.integers(0, 1 << 64, size=size, dtype=np.uint64)
+        else:
+            w = self._b2.next_u32(3 * size).astype(np.uint64)
+            hi = w[0::3]
+            lo = w[1::3] | (w[2::3] << np.uint64(32))
         out = np.empty(size, dtype=object)
         for i in range(size):
             out[i] = ((int(hi[i]) << 64) | int(lo[i])) % modulus
@@ -70,7 +122,9 @@ class BinFHERng:
 
     def ternary_uniform_signed(self, size: int) -> np.ndarray:
         """Ternary secret in {-1, 0, 1} (stored signed; embed mod m on demand)."""
-        return self._rng.integers(-1, 2, size=size).astype(np.int64)
+        if self._rng is not None:
+            return self._rng.integers(-1, 2, size=size).astype(np.int64)
+        return self._uniform_below(size, 3).astype(np.int64) - 1
 
 
 def _to_residues(signed_vals: np.ndarray, modulus: int) -> np.ndarray:
