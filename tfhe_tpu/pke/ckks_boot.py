@@ -1,0 +1,382 @@
+"""CKKS bootstrapping: ModRaise -> CoeffsToSlots -> EvalMod -> SlotsToCoeffs.
+
+Counterpart of the reference's `ckksrns-fhe.cpp` (EvalBootstrapSetup /
+EvalBootstrapKeyGen / EvalBootstrap, src/pke/lib/scheme/ckksrns/
+ckksrns-fhe.cpp:1-2451), re-designed for this exact-arithmetic host CKKS
+(pke/ckks.py):
+
+- **ModRaise**: the exhausted single-limb ciphertext's coefficients are
+  re-embedded into the full RNS chain; the plaintext becomes Delta*m + q0*I
+  with a small integer polynomial I, i.e. the CKKS value m + r*I with
+  r = q0/Delta (~1 since limb bits == scale bits).
+- **CoeffsToSlots / SlotsToCoeffs**: homomorphic DFT expressed as slot-space
+  linear transforms  w = A z + B conj(z)  evaluated by rotations +
+  diagonal plaintext multiplications (full packing, slots = N/2; the
+  reference's FFT-factored/BSGS variants are an optimization of the same
+  map, ckksrns-fhe.cpp CoeffsToSlots).
+- **EvalMod**: x mod r via the scaled-sine Chebyshev approximation
+  (r/2pi)*sin(2pi x / r), evaluated with the T_{k+1} = 2t*T_k - T_{k-1}
+  recurrence. Depth is linear in the degree — affordable here because the
+  host chain is exact big-int arithmetic and the limb budget is just a
+  parameter; the reference's Paterson-Stockmeyer variant
+  (EvalChebyshevSeriesPS) is the production-scale optimization.
+
+Precision: the result carries the usual CKKS bootstrapping approximation
+error O(|m|^3/r^2 + eps_cheb); tests pin a documented bound. Messages must be
+small relative to 1 (|m| <~ 0.05) exactly as the reference requires messages
+small relative to q0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .ckks import CKKSCiphertext, CKKSContext, CKKSParams, encode, _at_level
+from .dcrt import DCRTParams, DCRTPoly
+from .encoding import apply_automorphism_coeff
+
+
+# -- automorphisms ----------------------------------------------------------
+
+def galois_element(rot: int, N: int) -> int:
+    """Slot rotation by `rot` corresponds to X -> X^(5^rot mod 2N)."""
+    return pow(5, rot % (2 * N), 2 * N)
+
+
+def conj_element(N: int) -> int:
+    return 2 * N - 1
+
+
+def automorphism_dcrt(poly: DCRTPoly, k: int) -> DCRTPoly:
+    """a(X) -> a(X^k) on a residue tower (coefficient-domain per limb)."""
+    p = poly.to_coeff()
+    rns = np.stack([apply_automorphism_coeff(p.rns[i], k, m)
+                    for i, m in enumerate(p.params.moduli)])
+    return DCRTPoly(p.params, rns, eval_form=False).to_eval()
+
+
+def galois_key_gen(ctx: CKKSContext, sk, k: int) -> tuple[list, list]:
+    """Key-switching key from s(X^k) to s: windowed gadget encryptions of
+    T^d * s(X^k), same structure as relin_key_gen (keyswitch-bv.cpp)."""
+    _, s_signed = sk
+    d = ctx.params.dcrt
+    N = ctx.params.N
+    # automorphism of the signed secret: coefficient permutation with sign
+    idx = (np.arange(N) * k) % (2 * N)
+    tgt = idx % N
+    sign = np.where(idx >= N, -1, 1)
+    sk_auto = np.zeros(N, dtype=np.int64)
+    sk_auto[tgt] = sign * np.asarray(s_signed, dtype=np.int64)
+    s = ctx._sk_at(sk, d)
+    s_k = DCRTPoly.from_signed(d, sk_auto, eval_form=True)
+    T = 1 << ctx.params.relin_window
+    n_digits = (ctx.params.Q.bit_length() + ctx.params.relin_window - 1) \
+        // ctx.params.relin_window
+    bs, as_ = [], []
+    for dd in range(n_digits):
+        a_d = ctx._uniform(d)
+        e_d = ctx._gaussian(d)
+        bs.append(-(a_d * s + e_d) + s_k.mul_scalar(pow(T, dd, ctx.params.Q)))
+        as_.append(a_d)
+    return bs, as_
+
+
+def eval_automorphism(ctx: CKKSContext, ct: CKKSCiphertext, k: int,
+                      gk) -> CKKSCiphertext:
+    """Apply X -> X^k to a 2-poly ciphertext and switch back to s."""
+    assert len(ct.polys) == 2
+    lp = ct.level_params
+    c0 = automorphism_dcrt(ct.polys[0], k)
+    c1 = automorphism_dcrt(ct.polys[1], k)
+    # key switch c1 (digit decomposition against the galois key)
+    bs, as_ = gk
+    w = ctx.params.relin_window
+    T = 1 << w
+    c1_big = c1.to_bigint()
+    out0, out1 = c0, DCRTPoly.zero(lp)
+    n_digits = (lp.Q.bit_length() + w - 1) // w
+    for dd in range(n_digits):
+        digit = [(c >> (w * dd)) & (T - 1) for c in c1_big]
+        dp = DCRTPoly.from_bigint(lp, digit).to_eval()
+        out0 = out0 + _at_level(bs[dd], lp) * dp
+        out1 = out1 + _at_level(as_[dd], lp) * dp
+    return CKKSCiphertext([out0, out1], ct.scale, ct.params)
+
+
+def eval_rotate(ctx: CKKSContext, ct: CKKSCiphertext, rot: int,
+                keys: dict) -> CKKSCiphertext:
+    if rot % ctx.params.slots == 0:
+        return ct
+    k = galois_element(rot, ctx.params.N)
+    return eval_automorphism(ctx, ct, k, keys[k])
+
+
+def eval_conjugate(ctx: CKKSContext, ct: CKKSCiphertext,
+                   keys: dict) -> CKKSCiphertext:
+    k = conj_element(ctx.params.N)
+    return eval_automorphism(ctx, ct, k, keys[k])
+
+
+# -- level/scale-aligned helpers -------------------------------------------
+
+def _drop_to(ct: CKKSCiphertext, lp: DCRTParams) -> CKKSCiphertext:
+    """Level reduction: restricting the tower to fewer limbs leaves the
+    plaintext (and scale) unchanged."""
+    if ct.level_params.moduli == lp.moduli:
+        return ct
+    return CKKSCiphertext([_at_level(p, lp) for p in ct.polys],
+                          ct.scale, ct.params)
+
+
+def _align(a: CKKSCiphertext, b: CKKSCiphertext):
+    la, lb = a.level_params, b.level_params
+    lp = la if la.L <= lb.L else lb
+    a2, b2 = _drop_to(a, lp), _drop_to(b, lp)
+    rel = abs(a2.scale - b2.scale) / max(a2.scale, b2.scale)
+    assert rel < 1e-4, f"scale drift too large to add: {rel}"
+    return a2, b2, lp
+
+
+def add_ct(a: CKKSCiphertext, b: CKKSCiphertext) -> CKKSCiphertext:
+    a2, b2, _ = _align(a, b)
+    n = max(len(a2.polys), len(b2.polys))
+    polys = []
+    for i in range(n):
+        if i < len(a2.polys) and i < len(b2.polys):
+            polys.append(a2.polys[i] + b2.polys[i])
+        else:
+            polys.append((a2.polys if i < len(a2.polys) else b2.polys)[i])
+    return CKKSCiphertext(polys, max(a2.scale, b2.scale), a.params)
+
+
+def sub_ct(a: CKKSCiphertext, b: CKKSCiphertext) -> CKKSCiphertext:
+    a2, b2, _ = _align(a, b)
+    return CKKSCiphertext([x - y for x, y in zip(a2.polys, b2.polys)],
+                          max(a2.scale, b2.scale), a.params)
+
+
+def mult_const(ctx: CKKSContext, ct: CKKSCiphertext, c: float,
+               rescale: bool = True) -> CKKSCiphertext:
+    """Multiply every slot by a real constant (integer-scaled, then rescale)."""
+    lp = ct.level_params
+    delta = ctx.params.scale
+    k = int(round(c * delta))
+    out = CKKSCiphertext([p.mul_scalar(k % lp.Q) for p in ct.polys],
+                         ct.scale * delta, ct.params)
+    return ctx.rescale(out) if rescale else out
+
+
+def mult_plain_vec(ctx: CKKSContext, ct: CKKSCiphertext, vec,
+                   rescale: bool = True) -> CKKSCiphertext:
+    """Slotwise multiply by a complex vector (encoded at scale Delta)."""
+    lp = ct.level_params
+    m = encode(ctx.params, vec, ctx.params.scale)
+    dm = DCRTPoly.from_signed(lp, m, eval_form=True)
+    out = CKKSCiphertext([p * dm for p in ct.polys],
+                         ct.scale * ctx.params.scale, ct.params)
+    return ctx.rescale(out) if rescale else out
+
+
+def mult_ct(ctx: CKKSContext, a: CKKSCiphertext, b: CKKSCiphertext,
+            rlk) -> CKKSCiphertext:
+    a2, b2, _ = _align(a, b)
+    return ctx.eval_mult(a2, b2, rlk=rlk, rescale=True)
+
+
+# -- bootstrap precomputation ----------------------------------------------
+
+@dataclass
+class BootstrapPrecom:
+    cts_A: np.ndarray       # [s, s] coeffs->slots
+    cts_B: np.ndarray
+    stc_A: np.ndarray       # [s, s] slots->coeffs
+    stc_B: np.ndarray
+    cheb_coeffs: np.ndarray  # Chebyshev series of cos((2piK t - pi/2)/2^g)
+    K: float                # |x| bound in units of r
+    r: float                # q0 / Delta
+    q0: int
+    double_angles: int      # g
+
+
+def eval_bootstrap_setup(ctx: CKKSContext, K: float = 8.0,
+                         cheb_deg: int = 22,
+                         double_angles: int = 3) -> BootstrapPrecom:
+    """Precompute the CTS/STC matrices and the Chebyshev series of the
+    base cosine for the double-angle EvalMod (EvalBootstrapSetup,
+    ckksrns-fhe.cpp — which likewise approximates a cosine and applies
+    double-angle iterations)."""
+    p = ctx.params
+    N, s = p.N, p.slots
+    zeta = np.exp(1j * np.pi * (2 * np.arange(s) + 1) / N)  # per-slot root
+    k_idx = np.arange(s)
+    # CTS: w_k = m_k + i m_{k+s} = sum_j A[k,j] z_j + B[k,j] conj(z_j)
+    cts_A = (zeta[None, :] ** (-k_idx[:, None])
+             + 1j * zeta[None, :] ** (-(k_idx[:, None] + s))) / N
+    cts_B = (zeta[None, :] ** (k_idx[:, None])
+             + 1j * zeta[None, :] ** (k_idx[:, None] + s)) / N
+    # STC: y_j = sum_k A'[j,k] w_k + B'[j,k] conj(w_k)
+    stc_A = (zeta[:, None] ** k_idx[None, :]
+             - 1j * zeta[:, None] ** (k_idx[None, :] + s)) / 2
+    stc_B = (zeta[:, None] ** k_idx[None, :]
+             + 1j * zeta[:, None] ** (k_idx[None, :] + s)) / 2
+
+    q0 = p.dcrt.moduli[0]
+    r = q0 / p.scale
+    g = double_angles
+    # base angle: after g double-angle steps, cos(2pi K t - pi/2) = sin(2pi K t)
+    a, b = 2 * np.pi * K / (1 << g), -np.pi / 2 / (1 << g)
+
+    def base(t):
+        return np.cos(a * np.asarray(t) + b)
+
+    cheb = np.polynomial.chebyshev.chebinterpolate(base, cheb_deg)
+    return BootstrapPrecom(cts_A, cts_B, stc_A, stc_B, cheb, K, r, q0, g)
+
+
+def eval_bootstrap_keygen(ctx: CKKSContext, sk) -> dict:
+    """All Galois keys the linear transforms need: every slot rotation plus
+    conjugation (EvalBootstrapKeyGen; the reference generates the same index
+    set from its rotation plan)."""
+    N, s = ctx.params.N, ctx.params.slots
+    keys = {}
+    for rot in range(1, s):
+        k = galois_element(rot, N)
+        if k not in keys:
+            keys[k] = galois_key_gen(ctx, sk, k)
+    kc = conj_element(N)
+    keys[kc] = galois_key_gen(ctx, sk, kc)
+    return keys
+
+
+def _auto_slot_action(N: int, a: int) -> tuple[np.ndarray, np.ndarray]:
+    """Slot action of X -> X^a in the natural (2j+1)-root ordering used by
+    encode(): slot j of sigma_a(m) holds z_u (flag True) or conj(z_u)
+    (flag False), where (2j+1)*a mod 2N = 2u+1 or 2N-(2u+1)."""
+    s = N // 2
+    e = ((2 * np.arange(s) + 1) * a) % (2 * N)
+    plain = e < N
+    u = np.where(plain, (e - 1) // 2, (2 * N - e - 1) // 2)
+    return u.astype(np.int64), plain
+
+
+def eval_linear_transform(ctx: CKKSContext, ct: CKKSCiphertext,
+                          A: np.ndarray, B: np.ndarray,
+                          keys: dict) -> CKKSCiphertext:
+    """w = A z + B conj(z) on slots, decomposed along the orbits of the
+    automorphism group: out = sum_r dP_r . sigma_{5^r}(z) + dC_r .
+    sigma_{5^r}(conj z). In the natural slot ordering sigma_{5^r} is a signed
+    permutation (not a cyclic shift), so the generalized diagonals are read
+    off its explicit action — the same map the reference's CoeffsToSlots
+    rotation plan computes in its 5^j packing order (ckksrns-fhe.cpp)."""
+    p = ctx.params
+    N, s = p.N, p.slots
+    j = np.arange(s)
+    ct_c = eval_conjugate(ctx, ct, keys)
+    acc = None
+    for r in range(s):
+        a = galois_element(r, N)
+        u, plain = _auto_slot_action(N, a)
+        # sigma_a(z)_j      = z_u (plain) | conj(z_u)   -> coeff A | B
+        # sigma_a(conj z)_j = conj(z_u)   | z_u         -> coeff B | A
+        dP = np.where(plain, A[j, u], B[j, u])
+        dC = np.where(plain, B[j, u], A[j, u])
+        rot = ct if r == 0 else eval_automorphism(ctx, ct, a, keys[a])
+        rot_c = ct_c if r == 0 else eval_automorphism(ctx, ct_c, a, keys[a])
+        term = mult_plain_vec(ctx, rot, dP)
+        term = add_ct(term, mult_plain_vec(ctx, rot_c, dC))
+        acc = term if acc is None else add_ct(acc, term)
+    return acc
+
+
+def eval_chebyshev(ctx: CKKSContext, t: CKKSCiphertext, coeffs: np.ndarray,
+                   rlk) -> CKKSCiphertext:
+    """sum_k c_k T_k(t) by the three-term recurrence (linear depth; the
+    reference's Paterson-Stockmeyer version is the production-scale path)."""
+    deg = len(coeffs) - 1
+    # T_0 = 1 handled as the constant term added at the end
+    T_prev = None            # T_0 contribution folded into the constant
+    T_cur = t                # T_1
+    acc = mult_const(ctx, t, float(coeffs[1])) if deg >= 1 else None
+    two_t = scale_int(t, 2)  # exact doubling, no level cost
+    for k in range(2, deg + 1):
+        if T_prev is None:
+            # T_2 = 2 t^2 - 1
+            t2 = mult_ct(ctx, two_t, t, rlk)
+            T_next = add_const(ctx, t2, -1.0)
+        else:
+            T_next = sub_ct(mult_ct(ctx, two_t, T_cur, rlk), T_prev)
+        if abs(float(coeffs[k])) > 0:
+            acc = add_ct(acc, mult_const(ctx, T_next, float(coeffs[k])))
+        T_prev, T_cur = T_cur, T_next
+    return add_const(ctx, acc, float(coeffs[0]))
+
+
+def add_const(ctx: CKKSContext, ct: CKKSCiphertext, c: float) -> CKKSCiphertext:
+    """Add a real constant to every slot (constant polynomial at the
+    ciphertext's scale)."""
+    lp = ct.level_params
+    k = int(round(c * ct.scale))
+    const = np.zeros(ctx.params.N, dtype=np.int64)
+    const[0] = k
+    dm = DCRTPoly.from_signed(lp, const, eval_form=True)
+    return CKKSCiphertext([ct.polys[0] + dm] + list(ct.polys[1:]),
+                          ct.scale, ct.params)
+
+
+def scale_int(ct: CKKSCiphertext, k: int) -> CKKSCiphertext:
+    """Multiply the value by a small integer exactly (no scale change)."""
+    lp = ct.level_params
+    return CKKSCiphertext([p.mul_scalar(k % lp.Q) for p in ct.polys],
+                          ct.scale, ct.params)
+
+
+def eval_mod(ctx: CKKSContext, t: CKKSCiphertext, pre: BootstrapPrecom,
+             rlk) -> CKKSCiphertext:
+    """x mod r on slots given t = x/(K r) in [-1, 1]: Chebyshev base cosine
+    followed by `g` double-angle squarings, scaled by r/2pi — the same
+    cosine/double-angle construction as the reference's EvalMod."""
+    w = eval_chebyshev(ctx, t, pre.cheb_coeffs, rlk)
+    for _ in range(pre.double_angles):
+        w = add_const(ctx, scale_int(mult_ct(ctx, w, w, rlk), 2), -1.0)
+    return mult_const(ctx, w, pre.r / (2 * np.pi))
+
+
+def eval_bootstrap(ctx: CKKSContext, ct: CKKSCiphertext, pre: BootstrapPrecom,
+                   keys: dict, rlk) -> CKKSCiphertext:
+    """Refresh a depth-exhausted ciphertext back to (nearly) the full chain
+    (EvalBootstrap, ckksrns-fhe.cpp)."""
+    p = ctx.params
+    lp = ct.level_params
+    assert lp.L == 1, "bootstrap expects a ciphertext at the last level"
+    assert len(ct.polys) == 2
+
+    # 1. ModRaise: centered coefficients mod q0, re-embedded in the full chain
+    full = p.dcrt
+    raised = []
+    for poly in ct.polys:
+        c = poly.to_centered_bigint()
+        raised.append(DCRTPoly.from_bigint(
+            full, [x % full.Q for x in c]).to_eval())
+    # plaintext is now Delta*m + q0*I  ->  CKKS value m + r*I at scale Delta
+    ct1 = CKKSCiphertext(raised, ct.scale, p)
+
+    # 2. CoeffsToSlots, with the EvalMod normalization 1/(K*r) folded into
+    #    the transform matrices (slots w_k = (coeff_k + i coeff_{k+s})/(K*r))
+    norm = 1.0 / (pre.K * pre.r)
+    ct_slots = eval_linear_transform(ctx, ct1, pre.cts_A * norm,
+                                     pre.cts_B * norm, keys)
+
+    # 3. EvalMod on real and imaginary parts separately:
+    #    re = (w + conj w)/2, im = (w - conj w)/2i
+    w_c = eval_conjugate(ctx, ct_slots, keys)
+    ct_re = mult_const(ctx, add_ct(ct_slots, w_c), 0.5)
+    ct_im = mult_plain_vec(ctx, sub_ct(ct_slots, w_c),
+                           np.full(p.slots, -0.5j))
+    m_re = eval_mod(ctx, ct_re, pre, rlk)
+    m_im = eval_mod(ctx, ct_im, pre, rlk)
+    recomb = add_ct(m_re, mult_plain_vec(ctx, m_im, np.full(p.slots, 1j)))
+
+    # 4. SlotsToCoeffs
+    return eval_linear_transform(ctx, recomb, pre.stc_A, pre.stc_B, keys)
