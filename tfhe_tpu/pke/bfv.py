@@ -250,11 +250,15 @@ class BFVContext:
             c1 = c1 + gk.a[d] * dp
         return BFVCiphertext([c0, c1], p)
 
-    def relinearize(self, ct: BFVCiphertext, rlk: BFVRelinKey) -> BFVCiphertext:
+    def relinearize(self, ct: BFVCiphertext, rlk) -> BFVCiphertext:
         if len(ct.polys) == 2:
             return ct
         assert len(ct.polys) == 3
         p = self.params
+        from .keyswitch import HybridKSKey, hybrid_key_switch
+        if isinstance(rlk, HybridKSKey):
+            d0, d1 = hybrid_key_switch(rlk, ct.polys[2], p.dcrt)
+            return BFVCiphertext([ct.polys[0] + d0, ct.polys[1] + d1], p)
         T = 1 << p.relin_window
         c2 = ct.polys[2].to_bigint()                 # in [0, Q)
         c0, c1 = ct.polys[0], ct.polys[1]

@@ -185,6 +185,12 @@ class CKKSContext:
     def relinearize(self, ct: CKKSCiphertext, rlk) -> CKKSCiphertext:
         if len(ct.polys) == 2:
             return ct
+        from .keyswitch import HybridKSKey, hybrid_key_switch
+        if isinstance(rlk, HybridKSKey):
+            lp = ct.level_params
+            d0, d1 = hybrid_key_switch(rlk, ct.polys[2], lp)
+            return CKKSCiphertext([ct.polys[0] + d0, ct.polys[1] + d1],
+                                  ct.scale, ct.params)
         bs, as_ = rlk
         lp = ct.level_params
         p = self.params

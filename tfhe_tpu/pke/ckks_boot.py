@@ -90,6 +90,10 @@ def eval_automorphism(ctx: CKKSContext, ct: CKKSCiphertext, k: int,
     lp = ct.level_params
     c0 = automorphism_dcrt(ct.polys[0], k)
     c1 = automorphism_dcrt(ct.polys[1], k)
+    from .keyswitch import HybridKSKey, hybrid_key_switch
+    if isinstance(gk, HybridKSKey):
+        d0, d1 = hybrid_key_switch(gk, c1, lp)
+        return CKKSCiphertext([c0 + d0, d1], ct.scale, ct.params)
     # key switch c1 (digit decomposition against the galois key)
     bs, as_ = gk
     w = ctx.params.relin_window
