@@ -123,3 +123,21 @@ def test_ckks_depth2_chain(ckks):
     out = cc.eval_mult(ct12, ct3, rlk)
     d = cc.decrypt(sk, out)
     assert np.max(np.abs(d - z1 * z2 * z3)) < 1e-4
+
+
+def test_bgv_packed_rotation():
+    """BGV slot packing + rotation (EvalAtIndex at the BGV level, with
+    t-scaled Galois-key noise)."""
+    from tfhe_tpu.pke.bgv import BGVContext, BGVParams
+    cc = BGVContext(BGVParams.create(N=256, t=7681, mult_depth=1), seed=3)
+    sk, pk = cc.key_gen()
+    v = np.arange(1, 257) % 50
+    ct = cc.encrypt_packed(pk, v)
+    np.testing.assert_array_equal(cc.decrypt_packed(sk, ct), v)
+    gk = cc.galois_key_gen(sk, 1)
+    out = cc.decrypt_packed(sk, cc.eval_rotate(ct, gk))
+    # same slot-shift semantics as the BFV rotation over the packed layout:
+    # roll by -steps within each half-row
+    half = cc.params.N // 2
+    want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
+    np.testing.assert_array_equal(out, want)

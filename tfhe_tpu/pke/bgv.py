@@ -83,6 +83,37 @@ class BGVContext(BFVContext):
         v = acc.to_centered_bigint()
         return np.array([c % p.t for c in v], dtype=np.int64)
 
+    def encrypt_packed(self, pk, values) -> BFVCiphertext:
+        """Slot-wise (SIMD) encryption: pack then BGV-encrypt the coefficient
+        vector (packedencoding.cpp; requires prime t = 1 mod 2N)."""
+        from . import encoding
+        return self.encrypt(pk, encoding.pack(values, self.params.t,
+                                              self.params.N))
+
+    def decrypt_packed(self, sk, ct) -> np.ndarray:
+        from . import encoding
+        return encoding.unpack(self.decrypt(sk, ct), self.params.t,
+                               self.params.N)
+
+    def galois_key_gen(self, sk, steps: int):
+        """BGV slot-rotation key: same automorphism gadget as BFV but with
+        t-scaled key noise (BGV errors live in the t multiples)."""
+        from . import encoding
+        from .bfv import BFVRelinKey, _automorph
+        p = self.params
+        k = encoding.rotation_automorphism_index(p.N, steps)
+        s_tau = _automorph(sk.s, k)
+        T = 1 << p.relin_window
+        n_digits = (p.Q.bit_length() + p.relin_window - 1) // p.relin_window
+        gk = BFVRelinKey()
+        for d in range(n_digits):
+            a_d = self._uniform()
+            e_d = self._gaussian()
+            gk.b.append(-(a_d * sk.s + e_d.mul_scalar(p.t))
+                        + s_tau.mul_scalar(pow(T, d, p.Q)))
+            gk.a.append(a_d)
+        return k, gk
+
     def mod_switch(self, ct):
         """BGV modulus switching (ModReduce, rns-leveledshe.cpp): drop the
         last RNS limb, scaling the ciphertext by 1/q_last while preserving
