@@ -64,3 +64,15 @@ def test_eval_rotate(ctx):
     half = N // 2
     want = np.concatenate([np.roll(v[:half], -3), np.roll(v[half:], -3)])
     np.testing.assert_array_equal(out, want)
+
+
+def test_string_encoding_roundtrip():
+    """StringEncoding analogue: encrypt a string coefficient-wise."""
+    from tfhe_tpu.pke import BFVContext, BFVParams
+    from tfhe_tpu.pke import encoding
+    cc = BFVContext(BFVParams.create(N=64, t=257, mult_depth=1), seed=8)
+    sk, pk = cc.key_gen()
+    msg = "hello tfhe_tpu"
+    ct = cc.encrypt(pk, encoding.encode_string(msg, 257, 64))
+    got = encoding.decode_string(cc.decrypt(sk, ct), 257, 64)
+    assert got == msg

@@ -74,3 +74,20 @@ def apply_automorphism_coeff(coeffs: np.ndarray, k: int, modulus: int) -> np.nda
     vals = np.where(sign_flip & (coeffs != 0), m - coeffs, coeffs)
     out[..., tgt] = vals
     return out
+
+
+def encode_string(s: str, t: int, N: int) -> np.ndarray:
+    """StringEncoding (stringencoding.cpp): one character code per
+    coefficient, zero-padded; requires t >= 256 and len(s) <= N."""
+    assert t >= 256 and len(s) <= N
+    out = np.zeros(N, dtype=np.int64)
+    b = s.encode("utf-8")
+    assert len(b) <= N
+    out[:len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return out
+
+
+def decode_string(coeffs, t: int, N: int) -> str:
+    v = np.asarray(coeffs, dtype=np.int64) % t
+    b = bytes(int(x) for x in v if 0 < x < 256)
+    return b.decode("utf-8", errors="replace")
