@@ -242,30 +242,32 @@ def _crt_combine_pair(o1, o2, q1: int, q2: int):
 
 
 @functools.lru_cache(maxsize=None)
-def build_gate_pipeline_rns(N: int, q1: int, q2: int, base_g: int,
-                            digits_g_eff: int, throw: int, n: int, q_ks: int,
-                            base_ks: int, digit_count: int, fmod: int,
-                            add_q8: bool):
-    """Fused pipeline for the RNS composite ring modulus Q = q1*q2 (the
-    TPU-native form of the accelerated 54-bit sets, params.from_gpu_style):
-    single-limb two-lane Pallas rotation, in-graph Garner CRT recombination,
-    then the two-limb transpose/extract + fused mod/key/mod switch."""
+def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
+                             digits_g_eff: int, throw: int, n: int,
+                             add_q8: bool):
+    """Rotation stage of the RNS pipeline (the TPU-native form of the
+    accelerated 54-bit sets, params.from_gpu_style): single-limb two-lane
+    Pallas rotation, in-graph Garner CRT recombination, transpose/extract.
+
+    Kept as its own jit — EvalSign/EvalDecomp/EvalFunc hit many output
+    moduli, and only the (cheap) MKM switch depends on fmod; splitting means
+    the expensive Mosaic kernel compiles once per shape instead of once per
+    fmod. The accumulator stays on device between the two jits."""
     blind = build_pallas_rotate_rns(N, q1, q2, base_g, digits_g_eff, throw, n)
     Q = q1 * q2
-    mkm = _mkm64_builder(N, Q, q_ks, base_ks, digit_count, n, fmod)
     q8 = Q // 8 + 1
     q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
 
     @jax.jit
-    def pipe(acc1, acc2, a_idx, bsk_rns, ksk_bf):
+    def rot(acc1, acc2, a_idx, bsk_rns):
         o1, o2 = blind(acc1, acc2, a_idx, bsk_rns)
         lo, hi = _crt_combine_pair(o1, o2, q1, q2)
         a_t, b = transpose_extract64((lo, hi), Q)
         if add_q8:
             b = mm64.addmod64(b, q8p, Q)
-        return mkm(a_t[0], a_t[1], b[0], b[1], ksk_bf)
+        return a_t[0], a_t[1], b[0], b[1]
 
-    return pipe
+    return rot
 
 
 class JaxBackend:
@@ -724,15 +726,19 @@ class JaxBackend:
                     int(fmod))
             if dk.get("bsk_rns") is not None:
                 q1, q2 = rg.rns_primes
-                fn = self._shard_pallas(build_gate_pipeline_rns(
+                rot = self._shard_pallas(build_rotate_extract_rns(
                     rg.N, q1, q2, rg.base_g, digits_eff,
-                    rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
-                    p.digit_count_ks, int(fmod), bool(add_q8)),
-                    n_batch_args=3, n_out=2)
-                a_out, b_out = fn(
+                    rg.num_digits_to_throw, p.n, bool(add_q8)),
+                    n_batch_args=3, n_out=4)
+                alo, ahi, blo, bhi = rot(
                     self._shard_batch((acc % np.uint64(q1)).astype(np.uint32)),
                     self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
-                    self._shard_batch(a_idx), dk["bsk_rns"], dk["ksk_bf"])
+                    self._shard_batch(a_idx), dk["bsk_rns"])
+                # fmod-specific tail: compiles fast, no pallas inside, and
+                # XLA partitions it over the mesh from the sharded inputs
+                mkm = _mkm64_builder(p.N, p.Q, p.q_ks, p.base_ks,
+                                     p.digit_count_ks, p.n, int(fmod))
+                a_out, b_out = mkm(alo, ahi, blo, bhi, dk["ksk_bf"])
                 return lwe.LWECiphertext(
                     self._to_host(a_out)[:B].astype(np.uint64),
                     self._to_host(b_out)[:B].astype(np.uint64),
