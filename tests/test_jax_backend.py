@@ -172,6 +172,26 @@ def test_rns_gate_bit_exact_vs_oracle(ctx_rns):
         np.asarray(cc.decrypt(sk, dev), dtype=np.int64), 1 - (m1 & m2))
 
 
+def test_rns_func_fast_path_bit_exact(ctx_rns):
+    """EvalFloor through the RNS device fast path (test polynomial built on
+    device from the [ctMod] value table) == host oracle, bit for bit."""
+    cc, sk = ctx_rns
+    be = JaxBackend()
+    p = cc.params.max_plaintext_space
+    m = np.array([1, p // 3, p // 2, p - 1])
+    ct = cc.encrypt(sk, m, "FRESH", p)
+    ref = scheme.eval_floor(RefBackend(), cc.params, cc.bt_key, ct,
+                            cc.params.beta, 1)
+    dev = scheme.eval_floor(be, cc.params, cc.bt_key, ct, cc.params.beta, 1)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    # the fast path must actually engage for this configuration
+    fv = np.arange(cc.params.lwe.q, dtype=np.uint64) % 7
+    ctb, _ = scheme._as_batch(ct)
+    assert be.func_bootstrap(cc.params, cc.bt_key, fv, ctb,
+                             cc.params.lwe.q) is not None
+
+
 def test_accelerated_logq11_gate_bit_exact():
     """Accelerated TOY at logQ=11: Q ~ 2^27 prime with qKS = 2^35 — the
     two-limb pipeline with a scale-UP mod switch (the reference's gate

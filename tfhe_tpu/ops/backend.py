@@ -242,6 +242,42 @@ def _crt_combine_pair(o1, o2, q1: int, q2: int):
 
 
 @functools.lru_cache(maxsize=None)
+def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int):
+    """Device-side functional test-polynomial builder for the RNS lanes
+    (the batched BootstrapFuncCore, binfhe-base-scheme.cpp:1147-1192, done
+    in-graph): m[j*(2N/ctMod)] = g[(b - j) mod ctMod] gathered from the
+    tiny per-lane value tables — inputs ride the tunnel as u16 instead of
+    full [B, 2, N] accumulators."""
+    half = ct_mod >> 1
+    factor = (2 * N) // ct_mod
+    um = np.uint32(ct_mod)
+
+    @jax.jit
+    def build(b16, a16, g1, g2):
+        b = b16.astype(jnp.uint32)
+        a = a16.astype(jnp.uint32)
+        B = b.shape[0]
+        t = jnp.where(a == 0, a, um - a)
+        a_idx = (t * np.uint32(factor)).astype(jnp.int32)
+        j = jax.lax.broadcasted_iota(jnp.uint32, (1, half), 1)
+        temp = (b[:, None] + um - j) % um                       # [B, half]
+        accs = []
+        for g in (g1, g2):
+            vals = g[temp]                                      # [B, half]
+            if factor > 1:
+                m = jnp.concatenate(
+                    [vals[..., None],
+                     jnp.zeros((B, half, factor - 1), jnp.uint32)], axis=-1)
+                m = m.reshape(B, N)
+            else:
+                m = vals
+            accs.append(jnp.stack([jnp.zeros((B, N), jnp.uint32), m], axis=1))
+        return accs[0], accs[1], a_idx
+
+    return build
+
+
+@functools.lru_cache(maxsize=None)
 def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
                              digits_g_eff: int, throw: int, n: int,
                              add_q8: bool):
@@ -668,6 +704,46 @@ class JaxBackend:
         return lwe.LWECiphertext(
             self._to_host(a_out)[:B].astype(np.uint64),
             self._to_host(b_out)[:B].astype(np.uint64), int(fmod))
+
+    def func_bootstrap(self, params: BinFHEParams, key, fv: np.ndarray,
+                       ct, fmod: int):
+        """Functional bootstrap with the test polynomial built ON device from
+        the [ctMod] function-value table (fv = f(t) for t in [0, ctMod)).
+        Returns None when this configuration lacks the fast path (non-RNS,
+        multi-chip mesh, or oversized moduli) — the caller falls back to the
+        host-built-accumulator route."""
+        dk = self._get_device_key(params, key)
+        if dk.get("bsk_rns") is None or self.mesh is not None:
+            return None
+        p, rg = params.lwe, params.rgsw
+        ct_mod = int(ct.modulus)
+        if (2 * rg.N) % ct_mod or ct_mod > (1 << 16):
+            return None
+        q1, q2 = rg.rns_primes
+        Q = rg.Q
+        scale = Q // int(fmod)
+        gQ = [(scale * int(v)) % Q for v in np.asarray(fv).reshape(-1)]
+        g1 = np.array([g % q1 for g in gQ], dtype=np.uint32)
+        g2 = np.array([g % q2 for g in gQ], dtype=np.uint32)
+        B = ct.a.shape[0]
+        Bp = self._bucket(B)
+        a_pad = np.zeros((Bp, p.n), dtype=np.uint16)
+        a_pad[:B] = np.asarray(ct.a, dtype=np.uint64).astype(np.uint16)
+        b_pad = np.zeros((Bp,), dtype=np.uint16)
+        b_pad[:B] = np.asarray(ct.b, dtype=np.uint64).astype(np.uint16)
+        digits_eff = rg.digits_g - rg.num_digits_to_throw
+        build = build_func_acc_rns(rg.N, q1, q2, ct_mod)
+        acc1, acc2, a_idx = build(b_pad, a_pad, jnp.asarray(g1),
+                                  jnp.asarray(g2))
+        rot = build_rotate_extract_rns(rg.N, q1, q2, rg.base_g, digits_eff,
+                                       rg.num_digits_to_throw, p.n, False)
+        alo, ahi, blo, bhi = rot(acc1, acc2, a_idx, dk["bsk_rns"])
+        mkm = _mkm64_builder(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                             p.n, int(fmod))
+        a_out, b_out = mkm(alo, ahi, blo, bhi, dk["ksk_bf"])
+        return lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
+                                 self._to_host(b_out)[:B].astype(np.uint64),
+                                 int(fmod))
 
     def bootstrap_pipeline(self, params: BinFHEParams, key, acc_init: np.ndarray,
                            a_batch: np.ndarray, a_modulus: int, fmod: int,

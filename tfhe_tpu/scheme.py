@@ -295,6 +295,20 @@ def bootstrap_func(backend: Backend, params: BinFHEParams, key: BTKey,
         raise RuntimeError("Bootstrapping keys have not been generated. "
                            "Please call bt_key_gen before calling bootstrapping.")
     ctb, was_scalar = _as_batch(ct)
+    fb = getattr(backend, "func_bootstrap", None)
+    if fb is not None and (2 * params.lwe.N) % ctb.modulus == 0:
+        # device fast path: ship the [ctMod] value table instead of host-built
+        # accumulators — valid when f is a single shared function (per-ct LUT
+        # closures return a [B, ctMod] table here and are rejected by shape)
+        t = np.arange(ctb.modulus, dtype=np.uint64).reshape(1, -1)
+        try:
+            fv = np.asarray(f(t, ctb.modulus, fmod))
+        except (IndexError, ValueError):
+            fv = None
+        if fv is not None and fv.size == ctb.modulus:
+            out = fb(params, key, fv.reshape(-1), ctb, int(fmod))
+            if out is not None:
+                return _unbatch(out, was_scalar)
     m = _func_test_poly(params, ctb.b, ctb.modulus, fmod, f)
     out = _core_bootstrap(backend, params, key, m, ctb, fmod, add_q8=False)
     return _unbatch(out, was_scalar)
