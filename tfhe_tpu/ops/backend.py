@@ -727,10 +727,13 @@ class JaxBackend:
         g2 = np.array([g % q2 for g in gQ], dtype=np.uint32)
         B = ct.a.shape[0]
         Bp = self._bucket(B)
+        # ct may be a raw retag from a larger modulus (set_modulus does not
+        # re-reduce, lwe.py:37-40): reduce before the u16 cast
+        um = np.uint64(ct_mod)
         a_pad = np.zeros((Bp, p.n), dtype=np.uint16)
-        a_pad[:B] = np.asarray(ct.a, dtype=np.uint64).astype(np.uint16)
+        a_pad[:B] = (np.asarray(ct.a, dtype=np.uint64) % um).astype(np.uint16)
         b_pad = np.zeros((Bp,), dtype=np.uint16)
-        b_pad[:B] = np.asarray(ct.b, dtype=np.uint64).astype(np.uint16)
+        b_pad[:B] = (np.asarray(ct.b, dtype=np.uint64) % um).astype(np.uint16)
         digits_eff = rg.digits_g - rg.num_digits_to_throw
         build = build_func_acc_rns(rg.N, q1, q2, ct_mod)
         acc1, acc2, a_idx = build(b_pad, a_pad, jnp.asarray(g1),
