@@ -59,6 +59,89 @@ def _mkm64_builder(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
 
 
 @functools.lru_cache(maxsize=None)
+def build_rotate_extract32(N: int, Q: int, base_g: int, digits_g_eff: int,
+                           throw: int, n: int, use_pallas: bool):
+    """Rotation + transpose/extract for the u32 paths (small classic sets and
+    the mixed logQ=11 configs), its own jit: the expensive kernel compiles
+    once per shape while the fmod-specific tails recompile cheaply."""
+    blind = (build_pallas_rotate if use_pallas else build_blind_rotate)(
+        N, Q, base_g, digits_g_eff, throw, n)
+
+    @jax.jit
+    def rot(acc, a_idx, *bsk_args):
+        acc = blind(acc, a_idx, *bsk_args)
+        return transpose_extract(acc, Q)
+
+    return rot
+
+
+@functools.lru_cache(maxsize=None)
+def build_rotate_extract64(N: int, Q: int, base_g: int, digits_g_eff: int,
+                           throw: int, n: int, use_pallas: bool):
+    """Two-limb rotation + transpose/extract as its own jit."""
+    blind = (build_pallas_rotate64 if use_pallas else build_blind_rotate64)(
+        N, Q, base_g, digits_g_eff, throw, n)
+
+    @jax.jit
+    def rot(acc_lo, acc_hi, a_idx, *bsk_args):
+        acc = blind(acc_lo, acc_hi, a_idx, *bsk_args)
+        a_t, b = transpose_extract64(acc, Q)
+        return a_t[0], a_t[1], b[0], b[1]
+
+    return rot
+
+
+@functools.lru_cache(maxsize=None)
+def build_tail32(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
+                 n: int, fmod: int, add_q8: bool):
+    """Gate-constant offset + fused mod/key/mod switch, u32 end to end."""
+    mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = np.uint32(Q // 8 + 1)
+
+    @jax.jit
+    def tail(a_t, b, ksk_bf):
+        if add_q8:
+            b = mm.addmod(b, q8, Q)
+        return mkm(a_t, b, ksk_bf)
+
+    return tail
+
+
+@functools.lru_cache(maxsize=None)
+def build_tail64_from32(N: int, Q: int, q_ks: int, base_ks: int,
+                        digit_count: int, n: int, fmod: int, add_q8: bool):
+    """Mixed-path tail: u32 rotation outputs into the two-limb key switch
+    (qKS = 2^35 scale-up, the accelerated logQ=11 configs)."""
+    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8 = np.uint32(Q // 8 + 1)
+
+    @jax.jit
+    def tail(a_t, b, ksk_bf):
+        if add_q8:
+            b = mm.addmod(b, q8, Q)
+        return mkm(a_t, jnp.zeros_like(a_t), b, jnp.zeros_like(b), ksk_bf)
+
+    return tail
+
+
+@functools.lru_cache(maxsize=None)
+def build_tail64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
+                 n: int, fmod: int, add_q8: bool):
+    """Two-limb tail (RNS and 64-bit rotations)."""
+    mkm = _mkm64_builder(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    q8v = Q // 8 + 1
+    q8p = (np.uint32(q8v & 0xFFFFFFFF), np.uint32(q8v >> 32))
+
+    @jax.jit
+    def tail(alo, ahi, blo, bhi, ksk_bf):
+        if add_q8:
+            blo, bhi = mm64.addmod64((blo, bhi), q8p, Q)
+        return mkm(alo, ahi, blo, bhi, ksk_bf)
+
+    return tail
+
+
+@functools.lru_cache(maxsize=None)
 def build_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int, throw: int,
                         n: int, q_ks: int, base_ks: int, digit_count: int,
                         fmod: int, add_q8: bool):
@@ -73,27 +156,6 @@ def build_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int, throw: i
     @jax.jit
     def pipe(acc, a_idx, bsk, bsk_sh, ksk_bf):
         acc = blind(acc, a_idx, bsk, bsk_sh)
-        a_t, b = transpose_extract(acc, Q)
-        if add_q8:
-            b = mm.addmod(b, q8, Q)
-        return mkm(a_t, b, ksk_bf)
-
-    return pipe
-
-
-@functools.lru_cache(maxsize=None)
-def build_gate_pipeline_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
-                               throw: int, n: int, q_ks: int, base_ks: int,
-                               digit_count: int, fmod: int, add_q8: bool):
-    """Gate pipeline with the fused Pallas blind-rotation kernel
-    (ops/pallas_rotate.py) in place of the XLA-fused rotation."""
-    blind = build_pallas_rotate(N, Q, base_g, digits_g_eff, throw, n)
-    mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
-    q8 = np.uint32(Q // 8 + 1)
-
-    @jax.jit
-    def pipe(acc, a_idx, bsk_pack, ksk_bf):
-        acc = blind(acc, a_idx, bsk_pack)
         a_t, b = transpose_extract(acc, Q)
         if add_q8:
             b = mm.addmod(b, q8, Q)
@@ -155,78 +217,6 @@ def build_full_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
     return pipe
 
 
-@functools.lru_cache(maxsize=None)
-def build_mixed_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
-                         throw: int, n: int, q_ks: int, base_ks: int,
-                         digit_count: int, fmod: int, add_q8: bool,
-                         use_pallas: bool):
-    """Mixed path for the accelerated logQ=11 configs: Q ~ 2^27 (single-limb
-    Pallas/XLA rotation) with qKS = 2^35 (two-limb key switch, scale-up mod
-    switch). The reference runs this whole configuration in double-complex
-    FFT; here the rotation stays exact u32."""
-    if use_pallas:
-        blind = build_pallas_rotate(N, Q, base_g, digits_g_eff, throw, n)
-    else:
-        blind = build_blind_rotate(N, Q, base_g, digits_g_eff, throw, n)
-    mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
-    q8 = np.uint32(Q // 8 + 1)
-
-    @jax.jit
-    def pipe(acc, a_idx, *keys):
-        bsk_args, ksk_bf = keys[:-1], keys[-1]
-        acc = blind(acc, a_idx, *bsk_args)
-        a_t, b = transpose_extract(acc, Q)
-        if add_q8:
-            b = mm.addmod(b, q8, Q)
-        zero_a = jnp.zeros_like(a_t)
-        zero_b = jnp.zeros_like(b)
-        return mkm(a_t, zero_a, b, zero_b, ksk_bf)
-
-    return pipe
-
-
-@functools.lru_cache(maxsize=None)
-def build_gate_pipeline64(N: int, Q: int, base_g: int, digits_g_eff: int, throw: int,
-                          n: int, q_ks: int, base_ks: int, digit_count: int,
-                          fmod: int, add_q8: bool):
-    """Two-limb fused pipeline for 54-bit ring primes (qKS = 2^35 class)."""
-    blind = build_blind_rotate64(N, Q, base_g, digits_g_eff, throw, n)
-    mkm = _mkm64_builder(N, Q, q_ks, base_ks, digit_count, n, fmod)
-    q8 = Q // 8 + 1
-    q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
-
-    @jax.jit
-    def pipe(acc_lo, acc_hi, a_idx, bsk_lo, bsk_hi, bsk_sh_lo, bsk_sh_hi, ksk_bf):
-        acc = blind(acc_lo, acc_hi, a_idx, bsk_lo, bsk_hi, bsk_sh_lo, bsk_sh_hi)
-        a_t, b = transpose_extract64(acc, Q)
-        if add_q8:
-            b = mm64.addmod64(b, q8p, Q)
-        return mkm(a_t[0], a_t[1], b[0], b[1], ksk_bf)
-
-    return pipe
-
-
-@functools.lru_cache(maxsize=None)
-def build_gate_pipeline64_pallas(N: int, Q: int, base_g: int, digits_g_eff: int,
-                                 throw: int, n: int, q_ks: int, base_ks: int,
-                                 digit_count: int, fmod: int, add_q8: bool):
-    """Two-limb pipeline with the fused Pallas rotation kernel."""
-    blind = build_pallas_rotate64(N, Q, base_g, digits_g_eff, throw, n)
-    mkm = _mkm64_builder(N, Q, q_ks, base_ks, digit_count, n, fmod)
-    q8 = Q // 8 + 1
-    q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
-
-    @jax.jit
-    def pipe(acc_lo, acc_hi, a_idx, bsk_sh_pack, ksk_bf):
-        acc = blind(acc_lo, acc_hi, a_idx, bsk_sh_pack)
-        a_t, b = transpose_extract64(acc, Q)
-        if add_q8:
-            b = mm64.addmod64(b, q8p, Q)
-        return mkm(a_t[0], a_t[1], b[0], b[1], ksk_bf)
-
-    return pipe
-
-
 def _crt_combine_pair(o1, o2, q1: int, q2: int):
     """Garner CRT on device: residue lanes (o1 mod q1, o2 mod q2) -> uint32
     pair (lo, hi) of the value mod Q = q1*q2. Exact for q2 < q1 < 2^28."""
@@ -279,8 +269,7 @@ def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int):
 
 @functools.lru_cache(maxsize=None)
 def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
-                             digits_g_eff: int, throw: int, n: int,
-                             add_q8: bool):
+                             digits_g_eff: int, throw: int, n: int):
     """Rotation stage of the RNS pipeline (the TPU-native form of the
     accelerated 54-bit sets, params.from_gpu_style): single-limb two-lane
     Pallas rotation, in-graph Garner CRT recombination, transpose/extract.
@@ -291,16 +280,12 @@ def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
     fmod. The accumulator stays on device between the two jits."""
     blind = build_pallas_rotate_rns(N, q1, q2, base_g, digits_g_eff, throw, n)
     Q = q1 * q2
-    q8 = Q // 8 + 1
-    q8p = (np.uint32(q8 & 0xFFFFFFFF), np.uint32(q8 >> 32))
 
     @jax.jit
     def rot(acc1, acc2, a_idx, bsk_rns):
         o1, o2 = blind(acc1, acc2, a_idx, bsk_rns)
         lo, hi = _crt_combine_pair(o1, o2, q1, q2)
         a_t, b = transpose_extract64((lo, hi), Q)
-        if add_q8:
-            b = mm64.addmod64(b, q8p, Q)
         return a_t[0], a_t[1], b[0], b[1]
 
     return rot
@@ -739,11 +724,11 @@ class JaxBackend:
         acc1, acc2, a_idx = build(b_pad, a_pad, jnp.asarray(g1),
                                   jnp.asarray(g2))
         rot = build_rotate_extract_rns(rg.N, q1, q2, rg.base_g, digits_eff,
-                                       rg.num_digits_to_throw, p.n, False)
+                                       rg.num_digits_to_throw, p.n)
         alo, ahi, blo, bhi = rot(acc1, acc2, a_idx, dk["bsk_rns"])
-        mkm = _mkm64_builder(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
-                             p.n, int(fmod))
-        a_out, b_out = mkm(alo, ahi, blo, bhi, dk["ksk_bf"])
+        tail = build_tail64(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                            p.n, int(fmod), False)
+        a_out, b_out = tail(alo, ahi, blo, bhi, dk["ksk_bf"])
         return lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
                                  self._to_host(b_out)[:B].astype(np.uint64),
                                  int(fmod))
@@ -768,77 +753,51 @@ class JaxBackend:
         acc[:B] = np.asarray(acc_init, dtype=np.uint64)
         a_idx = np.zeros((Bp, p.n), dtype=np.int32)
         a_idx[:B] = self._scaled_indices(a_batch, a_modulus, rg.N)
-        if dk["small"]:
-            digits_eff = rg.digits_g - rg.num_digits_to_throw
-            if dk.get("bsk_pack") is not None:
-                fn = self._shard_pallas(build_gate_pipeline_pallas(
-                    rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
-                    p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod),
-                    bool(add_q8)), n_batch_args=2, n_out=2)
-                a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
-                                  self._shard_batch(a_idx),
-                                  dk["bsk_pack"], dk["ksk_bf"])
-            else:
-                fn = build_gate_pipeline(rg.N, rg.Q, rg.base_g, digits_eff,
-                                         rg.num_digits_to_throw, p.n, p.q_ks,
-                                         p.base_ks, p.digit_count_ks, int(fmod),
-                                         bool(add_q8))
-                a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
-                                  self._shard_batch(a_idx),
-                                  dk["bsk"], dk["bsk_sh"], dk["ksk_bf"])
+        digits_eff = rg.digits_g - rg.num_digits_to_throw
+        if dk["small"] or dk.get("mixed"):
+            use_pallas = (dk.get("bsk_pack") is not None)
+            rot = self._shard_pallas(build_rotate_extract32(
+                rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
+                p.n, use_pallas), n_batch_args=2, n_out=2)
+            key_args = ((dk["bsk_pack"],) if use_pallas
+                        else (dk["bsk"], dk["bsk_sh"]))
+            a_t, b = rot(self._shard_batch(acc.astype(np.uint32)),
+                         self._shard_batch(a_idx), *key_args)
+            # fmod-specific tail: cheap compile, no pallas inside; XLA
+            # partitions it over the mesh from the sharded inputs
+            tail_b = build_tail64_from32 if dk.get("mixed") else build_tail32
+            tail = tail_b(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                          p.n, int(fmod), bool(add_q8))
+            a_out, b_out = tail(a_t, b, dk["ksk_bf"])
+        elif dk.get("bsk_rns") is not None:
+            q1, q2 = rg.rns_primes
+            rot = self._shard_pallas(build_rotate_extract_rns(
+                rg.N, q1, q2, rg.base_g, digits_eff,
+                rg.num_digits_to_throw, p.n), n_batch_args=3, n_out=4)
+            alo, ahi, blo, bhi = rot(
+                self._shard_batch((acc % np.uint64(q1)).astype(np.uint32)),
+                self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
+                self._shard_batch(a_idx), dk["bsk_rns"])
+            tail = build_tail64(p.N, p.Q, p.q_ks, p.base_ks,
+                                p.digit_count_ks, p.n, int(fmod),
+                                bool(add_q8))
+            a_out, b_out = tail(alo, ahi, blo, bhi, dk["ksk_bf"])
         else:
-            digits_eff = rg.digits_g - rg.num_digits_to_throw
-            if dk.get("mixed"):
-                fn = self._shard_pallas(build_mixed_pipeline(
-                    rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
-                    p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod),
-                    bool(add_q8), dk["mixed_pallas"]),
-                    n_batch_args=2, n_out=2)
-                key_args = ((dk["bsk_pack"],) if dk["mixed_pallas"]
-                            else (dk["bsk"], dk["bsk_sh"]))
-                a_out, b_out = fn(self._shard_batch(acc.astype(np.uint32)),
-                                  self._shard_batch(a_idx),
-                                  *key_args, dk["ksk_bf"])
-                return lwe.LWECiphertext(
-                    self._to_host(a_out)[:B].astype(np.uint64),
-                    self._to_host(b_out)[:B].astype(np.uint64),
-                    int(fmod))
-            if dk.get("bsk_rns") is not None:
-                q1, q2 = rg.rns_primes
-                rot = self._shard_pallas(build_rotate_extract_rns(
-                    rg.N, q1, q2, rg.base_g, digits_eff,
-                    rg.num_digits_to_throw, p.n, bool(add_q8)),
-                    n_batch_args=3, n_out=4)
-                alo, ahi, blo, bhi = rot(
-                    self._shard_batch((acc % np.uint64(q1)).astype(np.uint32)),
-                    self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
-                    self._shard_batch(a_idx), dk["bsk_rns"])
-                # fmod-specific tail: compiles fast, no pallas inside, and
-                # XLA partitions it over the mesh from the sharded inputs
-                mkm = _mkm64_builder(p.N, p.Q, p.q_ks, p.base_ks,
-                                     p.digit_count_ks, p.n, int(fmod))
-                a_out, b_out = mkm(alo, ahi, blo, bhi, dk["ksk_bf"])
-                return lwe.LWECiphertext(
-                    self._to_host(a_out)[:B].astype(np.uint64),
-                    self._to_host(b_out)[:B].astype(np.uint64),
-                    int(fmod))
             lo, hi = mm64.pack_host(acc)
-            if dk.get("bsk_sh_pack") is not None:
-                fn = self._shard_pallas(build_gate_pipeline64_pallas(
-                    rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
-                    p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod),
-                    bool(add_q8)), n_batch_args=3, n_out=2)
-                a_out, b_out = fn(self._shard_batch(lo), self._shard_batch(hi),
-                                  self._shard_batch(a_idx),
-                                  dk["bsk_sh_pack"], dk["ksk_bf"])
-            else:
-                fn = build_gate_pipeline64(rg.N, rg.Q, rg.base_g, digits_eff,
-                                           rg.num_digits_to_throw, p.n, p.q_ks, p.base_ks,
-                                           p.digit_count_ks, int(fmod), bool(add_q8))
-                a_out, b_out = fn(self._shard_batch(lo), self._shard_batch(hi),
-                                  self._shard_batch(a_idx),
-                                  dk["bsk_lo"], dk["bsk_hi"], dk["bsk_sh_lo"], dk["bsk_sh_hi"],
-                                  dk["ksk_bf"])
+            use_pallas = dk.get("bsk_sh_pack") is not None
+            rot = self._shard_pallas(build_rotate_extract64(
+                rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
+                p.n, use_pallas), n_batch_args=3, n_out=4)
+            key_args = ((dk["bsk_sh_pack"],) if use_pallas
+                        else (dk["bsk_lo"], dk["bsk_hi"],
+                              dk["bsk_sh_lo"], dk["bsk_sh_hi"]))
+            alo, ahi, blo, bhi = rot(self._shard_batch(lo),
+                                     self._shard_batch(hi),
+                                     self._shard_batch(a_idx), *key_args)
+            tail = build_tail64(p.N, p.Q, p.q_ks, p.base_ks,
+                                p.digit_count_ks, p.n, int(fmod),
+                                bool(add_q8))
+            a_out, b_out = tail(alo, ahi, blo, bhi, dk["ksk_bf"])
         return lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
                                  self._to_host(b_out)[:B].astype(np.uint64),
                                  int(fmod))
