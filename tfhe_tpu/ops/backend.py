@@ -736,7 +736,10 @@ class JaxBackend:
     def bootstrap_pipeline(self, params: BinFHEParams, key, acc_init: np.ndarray,
                            a_batch: np.ndarray, a_modulus: int, fmod: int,
                            add_q8: bool) -> lwe.LWECiphertext:
-        """Whole gate/functional bootstrap on device in one jit."""
+        """Whole gate/functional bootstrap on device: shape-keyed rotation
+        jit + fmod-specific tail jit, accumulator resident on device between
+        the two (no host round trip, unlike the reference's D2H+H2D between
+        EvalAcc_CUDA and MKMSwitch_CUDA)."""
         dk = self._get_device_key(params, key)
         p, rg = params.lwe, params.rgsw
         if dk.get("dm_table") is not None:
