@@ -56,7 +56,7 @@ def _pack_lane_tab(tab: np.ndarray, qi: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                             digits_g_eff: int, throw: int, n: int,
-                            BT: int = 128, bt: int = 16):
+                            BT: int = 256, bt: int = 32):
     """Returns fn(acc1, acc2 [B,2,N] u32 (lanes mod q1, q2), a_idx [B,n] i32,
     bsk_sh [n, 8*d2, N] u32) -> (acc1, acc2).
 
