@@ -46,6 +46,12 @@ from .pallas_rotate64 import build_pallas_rotate64, pack_bsk64
 from .pallas_rotate_rns import build_pallas_rotate_rns, pack_bsk_rns
 import functools
 import os
+import warnings
+
+# buffer donation (single-use accumulators between the rotation and tail
+# jits) is a TPU HBM optimization; the CPU backend cannot honor it and warns
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable")
 
 
 def _mkm64_builder(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
@@ -67,7 +73,7 @@ def build_rotate_extract32(N: int, Q: int, base_g: int, digits_g_eff: int,
     blind = (build_pallas_rotate if use_pallas else build_blind_rotate)(
         N, Q, base_g, digits_g_eff, throw, n)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def rot(acc, a_idx, *bsk_args):
         acc = blind(acc, a_idx, *bsk_args)
         return transpose_extract(acc, Q)
@@ -82,7 +88,7 @@ def build_rotate_extract64(N: int, Q: int, base_g: int, digits_g_eff: int,
     blind = (build_pallas_rotate64 if use_pallas else build_blind_rotate64)(
         N, Q, base_g, digits_g_eff, throw, n)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rot(acc_lo, acc_hi, a_idx, *bsk_args):
         acc = blind(acc_lo, acc_hi, a_idx, *bsk_args)
         a_t, b = transpose_extract64(acc, Q)
@@ -98,7 +104,7 @@ def build_tail32(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
     mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
     q8 = np.uint32(Q // 8 + 1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def tail(a_t, b, ksk_bf):
         if add_q8:
             b = mm.addmod(b, q8, Q)
@@ -115,7 +121,7 @@ def build_tail64_from32(N: int, Q: int, q_ks: int, base_ks: int,
     mkm = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
     q8 = np.uint32(Q // 8 + 1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def tail(a_t, b, ksk_bf):
         if add_q8:
             b = mm.addmod(b, q8, Q)
@@ -132,7 +138,7 @@ def build_tail64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
     q8v = Q // 8 + 1
     q8p = (np.uint32(q8v & 0xFFFFFFFF), np.uint32(q8v >> 32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def tail(alo, ahi, blo, bhi, ksk_bf):
         if add_q8:
             blo, bhi = mm64.addmod64((blo, bhi), q8p, Q)
@@ -281,7 +287,7 @@ def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
     blind = build_pallas_rotate_rns(N, q1, q2, base_g, digits_g_eff, throw, n)
     Q = q1 * q2
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rot(acc1, acc2, a_idx, bsk_rns):
         o1, o2 = blind(acc1, acc2, a_idx, bsk_rns)
         lo, hi = _crt_combine_pair(o1, o2, q1, q2)
