@@ -1,0 +1,235 @@
+"""Pure-RNS CKKS core: no big-integer round trips anywhere in the hot path.
+
+The exactness-first host CKKS (pke/ckks.py) routes multiplication and
+rescaling through exact CRT interpolation — correct, but each operation
+leaves the RNS domain, which is exactly what a TPU offload cannot afford.
+This module is the production-form counterpart (the reference's rns-*.cpp /
+keyswitch-hybrid.cpp machinery): every operation is a per-limb vectorized
+numpy kernel over [L, N] residue towers, directly mappable onto
+limb-parallel device NTTs (parallel/limb_ntt.py) in a later round.
+
+- `rescale_rns`: c' = (c - [c]_{q_L}) / q_L per remaining limb — one
+  subtract and one Shoup multiply per limb (rns-leveledshe.cpp ModReduce).
+- `fast_base_convert`: HPS approximate base extension
+  x -> sum_i [x * (D/q_i)^{-1}]_{q_i} * (D/q_i) - alpha*D with the float
+  alpha correction (BEHZ/HPS; base-extension core of rns-*.cpp).
+- `hybrid keyswitch`: dnum digit groups extended to the PQ basis by FBC,
+  inner products with the key tower, ModDown by P — the same algorithm as
+  pke/keyswitch.py but with every step staying in RNS.
+
+Validated against the exact big-int CKKS (tests/test_ckks_rns.py):
+mult + rescale chains agree to the approximate-base-conversion error
+(< dnum/2 integral units), far below the CKKS noise floor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+from ..ref import modmath
+from .dcrt import DCRTParams, DCRTPoly, _moduli_chain
+
+
+# -- per-limb primitives ----------------------------------------------------
+
+def rescale_rns(poly: DCRTPoly) -> DCRTPoly:
+    """Drop the last limb, scaling by 1/q_last in pure RNS:
+    c'_i = (c_i - c_last) * q_last^{-1} mod q_i (ModReduce; the centered
+    correction is absorbed into CKKS noise exactly as in the reference)."""
+    lp = poly.params
+    assert lp.L > 1
+    q_last = lp.moduli[-1]
+    new_lp = DCRTParams(N=lp.N, moduli=lp.moduli[:-1])
+    p = poly.to_coeff()
+    c_last = p.rns[-1]                                   # [N] mod q_last
+    # center the q_last residue so the division error is <= 1/2
+    half = np.uint64(q_last // 2)
+    rows = []
+    for i, m in enumerate(new_lp.moduli):
+        cl = np.where(c_last > half,
+                      (c_last + np.uint64(m) - np.uint64(q_last)) % np.uint64(m),
+                      c_last % np.uint64(m))
+        diff = (p.rns[i] + np.uint64(m) - cl) % np.uint64(m)
+        rows.append(modmath.mul(diff,
+                                np.uint64(pow(q_last, -1, m)), m))
+    return DCRTPoly(new_lp, np.stack(rows), eval_form=False).to_eval()
+
+
+@lru_cache(maxsize=None)
+def _fbc_tables(src: tuple, dst: tuple):
+    """Precompute for FBC from basis `src` (product D) to basis `dst`:
+    (D/q_i)^{-1} mod q_i, (D/q_i) mod each dst prime, D mod each dst prime."""
+    D = 1
+    for q in src:
+        D *= q
+    inv = np.array([pow((D // q) % q, -1, q) for q in src], dtype=np.uint64)
+    frac_den = np.array(src, dtype=np.float64)
+    dhat_dst = np.array([[(D // q) % m for q in src] for m in dst],
+                        dtype=np.uint64)
+    d_dst = np.array([D % m for m in dst], dtype=np.uint64)
+    return inv, frac_den, dhat_dst, d_dst
+
+
+def fast_base_convert(rns_src: np.ndarray, src: tuple, dst: tuple) -> np.ndarray:
+    """HPS fast base conversion of [len(src), N] residues (value x in [0, D))
+    to the dst basis: sum_i y_i*(D/q_i) - alpha*D with y_i = [x*(D/q_i)^-1]_q_i
+    and alpha = round(sum_i y_i/q_i). Error: represents x + e*D with
+    |e| <= 1/2 from the float rounding — the standard approximate extension."""
+    inv, frac_den, dhat_dst, d_dst = _fbc_tables(tuple(src), tuple(dst))
+    y = np.stack([modmath.mul(rns_src[i], inv[i], src[i])
+                  for i in range(len(src))])             # [s, N]
+    alpha = np.rint((y.astype(np.float64) / frac_den[:, None]).sum(0))
+    alpha = alpha.astype(np.int64)
+    out = []
+    for j, m in enumerate(dst):
+        acc = np.zeros(rns_src.shape[-1], dtype=np.uint64)
+        for i in range(len(src)):
+            acc = (acc + modmath.mul(y[i] % np.uint64(m), dhat_dst[j, i], m)) \
+                % np.uint64(m)
+        corr = modmath.mul((alpha % np.int64(m)).astype(np.uint64), d_dst[j], m)
+        out.append((acc + np.uint64(m) - corr) % np.uint64(m))
+    return np.stack(out)
+
+
+# -- hybrid key switching, pure RNS ----------------------------------------
+
+@dataclass
+class RnsHybridKey:
+    bs: list                 # dnum towers over the PQ chain (EVAL form)
+    as_: list
+    pq_params: DCRTParams
+    q_moduli: tuple
+    p_moduli: tuple
+    groups: list             # (start, end) limb ranges of Q
+
+
+def rns_hybrid_ks_gen(rng, q_params: DCRTParams, s_from_signed, s_to_signed,
+                      dnum: int = 2, std: float = 3.19,
+                      limb_bits: int = 40) -> RnsHybridKey:
+    per = (q_params.L + dnum - 1) // dnum
+    groups = [(i, min(i + per, q_params.L)) for i in range(0, q_params.L, per)]
+    n_p = max(e - s for s, e in groups) + 1
+    p_moduli = _moduli_chain(q_params.N, n_p, limb_bits, skip=q_params.L)
+    pq = DCRTParams(N=q_params.N, moduli=q_params.moduli + tuple(p_moduli))
+    P = 1
+    for m in p_moduli:
+        P *= m
+    Q = q_params.Q
+    N = q_params.N
+    s_to = DCRTPoly.from_signed(pq, s_to_signed, eval_form=True)
+    s_from = DCRTPoly.from_signed(pq, s_from_signed, eval_form=True)
+    bs, as_ = [], []
+    for (g0, g1) in groups:
+        D = 1
+        for m in q_params.moduli[g0:g1]:
+            D *= m
+        # digits are the raw group residues x_j = c2 mod D_j, so the key
+        # carries the CRT recomposition factor Q~_j = (Q/D_j)*[(Q/D_j)^-1]_Dj
+        # (sum_j x_j * Q~_j == c2 mod Q); the FBC representation error e*D_j
+        # vanishes against P*Q~_j mod PQ because D_j*Q~_j == 0 mod Q
+        qhat = Q // D
+        factor = (qhat * pow(qhat % D, -1, D)) % Q * P
+        a = DCRTPoly(pq, np.stack([rng.discrete_uniform(N, m)
+                                   for m in pq.moduli]).astype(np.uint64),
+                     eval_form=False).to_eval()
+        e = DCRTPoly.from_signed(pq, rng.discrete_gaussian_signed(N, std),
+                                 eval_form=True)
+        bs.append(-(a * s_to + e) + s_from.mul_scalar(factor % pq.Q))
+        as_.append(a)
+    return RnsHybridKey(bs, as_, pq, q_params.moduli, tuple(p_moduli), groups)
+
+
+def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
+                          level_moduli: tuple) -> tuple[DCRTPoly, DCRTPoly]:
+    """(delta0, delta1) over the working chain — digits taken per group from
+    c2's own residues, FBC-extended to the full PQ basis, inner product with
+    the key towers, then ModDown by P. Everything stays in RNS."""
+    lvl = tuple(level_moduli)
+    assert ksk.q_moduli[:len(lvl)] == lvl
+    pq_mods = ksk.pq_params.moduli
+    c2c = c2.to_coeff()
+    N = c2c.params.N
+    assert ksk.q_moduli == lvl, "use the key generated for this level chain"
+    acc0 = acc1 = None
+    for (g0, g1), b, a in zip(ksk.groups, ksk.bs, ksk.as_):
+        src = ksk.q_moduli[g0:g1]
+        digit_src = c2c.rns[g0:g1]
+        ext = fast_base_convert(digit_src, src, pq_mods)
+        dp = DCRTPoly(ksk.pq_params, ext, eval_form=False).to_eval()
+        t0, t1 = b * dp, a * dp
+        acc0 = t0 if acc0 is None else acc0 + t0
+        acc1 = t1 if acc1 is None else acc1 + t1
+    # ModDown: x -> (x - FBC([x]_P)) * P^{-1} over the level chain
+    out = []
+    new_lp = DCRTParams(N=N, moduli=lvl)
+    p_mods = ksk.p_moduli
+    n_q = len(ksk.q_moduli)
+    for acc in (acc0, acc1):
+        ac = acc.to_coeff()
+        x_p = ac.rns[n_q:]                              # residues mod P limbs
+        conv = fast_base_convert(x_p, p_mods, lvl)
+        P_inv = [pow(_prod(p_mods) % m, -1, m) for m in lvl]
+        rows = []
+        for i, m in enumerate(lvl):
+            diff = (ac.rns[i] + np.uint64(m) - conv[i]) % np.uint64(m)
+            rows.append(modmath.mul(diff, np.uint64(P_inv[i]), m))
+        out.append(DCRTPoly(new_lp, np.stack(rows), eval_form=False).to_eval())
+    return out[0], out[1]
+
+
+def _prod(xs) -> int:
+    r = 1
+    for x in xs:
+        r *= int(x)
+    return r
+
+
+# -- RNS CKKS context -------------------------------------------------------
+
+class CKKSRnsContext:
+    """CKKS with every homomorphic operation in pure RNS (per-limb numpy,
+    device-offload-ready). Encode/decode and encryption reuse pke/ckks.py."""
+
+    def __init__(self, base_ctx, dnum: int = 2):
+        from .ckks import CKKSContext
+        assert isinstance(base_ctx, CKKSContext)
+        self.ctx = base_ctx
+        self.params = base_ctx.params
+        self.dnum = dnum
+
+    def relin_key_gen(self, sk) -> dict:
+        """One hybrid key per level chain (length L down to 2) — the
+        level-aware PartQlHat precomputation of the reference collapses to
+        per-level keys here; key material is L-1 towers instead of one."""
+        from .keyswitch import negacyclic_square_signed
+        s_signed = sk[1]
+        s2 = negacyclic_square_signed(s_signed)
+        full = self.params.dcrt
+        keys = {}
+        for lvl_len in range(2, full.L + 1):
+            qp = DCRTParams(N=full.N, moduli=full.moduli[:lvl_len])
+            keys[lvl_len] = rns_hybrid_ks_gen(self.ctx.rng, qp, s2, s_signed,
+                                              self.dnum)
+        return keys
+
+    def eval_mult(self, a, b, rlk: RnsHybridKey, rescale: bool = True):
+        """Tensor product directly in RNS eval form (no CRT interpolation),
+        hybrid relinearization, RNS rescale."""
+        from .ckks import CKKSCiphertext
+        assert len(a.polys) == 2 and len(b.polys) == 2
+        lp = a.polys[0].params
+        assert b.polys[0].params.moduli == lp.moduli
+        d0 = a.polys[0] * b.polys[0]
+        d1 = a.polys[0] * b.polys[1] + a.polys[1] * b.polys[0]
+        d2 = a.polys[1] * b.polys[1]
+        key = rlk[lp.L] if isinstance(rlk, dict) else rlk
+        s0, s1 = rns_hybrid_key_switch(key, d2, lp.moduli)
+        ct = CKKSCiphertext([d0 + s0, d1 + s1], a.scale * b.scale,
+                            self.params)
+        if rescale:
+            new = [rescale_rns(p) for p in ct.polys]
+            ct = CKKSCiphertext(new, ct.scale / lp.moduli[-1], self.params)
+        return ct
