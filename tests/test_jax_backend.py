@@ -192,6 +192,42 @@ def test_rns_func_fast_path_bit_exact(ctx_rns):
                              cc.params.lwe.q) is not None
 
 
+def test_mixed_fused_gate_fast_path(monkeypatch):
+    """The fully-fused u16 gate pipeline on a mixed (qKS=2^35) config —
+    the low-latency path the CHES AND loop uses — bit-exact vs oracle."""
+    monkeypatch.setenv("TFHE_TPU_PALLAS", "1")
+    from tfhe_tpu.params import BinFHEParams, LWEParams, RGSWParams
+    from tfhe_tpu.utils.numtheory import ntt_prime
+
+    N, q = 256, 512
+    Q = ntt_prime(20, 2 * N)
+    cc = BinFHEContext(seed=77)
+    cc.params = BinFHEParams(
+        lwe=LWEParams(n=8, N=N, q=q, Q=Q, q_ks=1 << 35, std=3.19, base_ks=32),
+        rgsw=RGSWParams(N=N, Q=Q, q=q, base_g=1 << 5, base_r=23,
+                        method=params_mod.Method.GINX, std=3.19))
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    be = JaxBackend()
+    assert be._is_mixed(cc.params)
+    m1 = np.array([0, 1, 0, 1])
+    m2 = np.array([0, 0, 1, 1])
+    ct1, ct2 = cc.encrypt(sk, m1), cc.encrypt(sk, m2)
+    ref = scheme.eval_bin_gate(RefBackend(), cc.params, Gate.AND, cc.bt_key,
+                               ct1, ct2)
+    # the fused path must engage (not fall back to the generic pipeline)
+    prep = ct1.copy()
+    from tfhe_tpu import lwe as lwe_mod
+    lwe_mod.add_eq(prep, ct2)
+    assert be.gate_bootstrap(cc.params, cc.bt_key, Gate.AND, prep,
+                             cc.params.lwe.q) is not None
+    dev = scheme.eval_bin_gate(be, cc.params, Gate.AND, cc.bt_key, ct1, ct2)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    np.testing.assert_array_equal(
+        np.asarray(cc.decrypt(sk, dev), dtype=np.int64), m1 & m2)
+
+
 def test_accelerated_logq11_gate_bit_exact():
     """Accelerated TOY at logQ=11: Q ~ 2^27 prime with qKS = 2^35 — the
     two-limb pipeline with a scale-UP mod switch (the reference's gate

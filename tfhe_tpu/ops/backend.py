@@ -173,13 +173,25 @@ def build_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int, throw: i
 @functools.lru_cache(maxsize=None)
 def build_full_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
                              throw: int, n: int, q_ks: int, base_ks: int,
-                             digit_count: int, fmod: int, q: int, q1: int):
+                             digit_count: int, fmod: int, q: int, q1: int,
+                             mixed: bool = False):
     """Whole gate bootstrap on device INCLUDING test-polynomial construction
     (the batched BootstrapGateCore, binfhe-base-scheme.cpp:1087-1145, done
     in-graph): inputs are just the prepped LWE batch (a [B,n], b [B]) — the
-    reference uploads a full accumulator per ciphertext instead."""
+    reference uploads a full accumulator per ciphertext instead. One jit end
+    to end — the low-latency path (gates are single-fmod, so the split
+    compile structure buys nothing and the extra dispatch costs ~0.1 ms/call
+    at small batches). `mixed` selects the two-limb qKS=2^35 key switch of
+    the accelerated logQ=11 configs."""
     blind = build_pallas_rotate(N, Q, base_g, digits_g_eff, throw, n)
-    mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
+    if mixed:
+        mkm64 = build_mkm_switch64(N, Q, q_ks, base_ks, digit_count, n, fmod)
+
+        def mkm(a_t, b, ksk_bf):
+            return mkm64(a_t, jnp.zeros_like(a_t), b, jnp.zeros_like(b),
+                         ksk_bf)
+    else:
+        mkm = build_mkm_switch(N, Q, q_ks, base_ks, digit_count, n, fmod)
     q8 = np.uint32(Q // 8 + 1)
     q8neg = np.uint32(Q - (Q // 8 + 1))
     q_half = q >> 1
@@ -670,7 +682,9 @@ class JaxBackend:
         built on device). Returns None when this configuration must fall back
         to the generic accumulator-upload path."""
         dk = self._get_device_key(params, key)
-        if not dk["small"] or dk.get("bsk_pack") is None:
+        mixed = bool(dk.get("mixed"))
+        has_pack = dk.get("bsk_pack") is not None
+        if not (dk["small"] or mixed) or not has_pack:
             return None
         p, rg = params.lwe, params.rgsw
         q = int(ct.modulus)
@@ -688,8 +702,8 @@ class JaxBackend:
         digits_eff = rg.digits_g - rg.num_digits_to_throw
         fn = self._shard_pallas(build_full_gate_pipeline(
             rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
-            p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod), q, q1),
-            n_batch_args=2, n_out=2)
+            p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod), q, q1,
+            mixed=mixed), n_batch_args=2, n_out=2)
         a_out, b_out = fn(self._shard_batch(a_pad), self._shard_batch(b_pad),
                           dk["bsk_pack"], dk["ksk_bf"])
         return lwe.LWECiphertext(
