@@ -43,8 +43,14 @@ def run_and(iters: int):
     for _ in range(iters):
         out = cc.eval_bin_gate(Gate.AND, ct1, ct2)
     dt = time.time() - t0
-    print(f"total: {dt:.2f}s, {dt / iters * 1e6:.0f} us/iteration "
-          f"({256 * iters / dt:.0f} gates/s)", flush=True)
+    # dimensional cross-check: ms/iteration x gates/s must multiply out to
+    # 256 gates/iteration (round-2 docs misreported this line as us)
+    per_iter_ms = dt / iters * 1e3
+    gates_per_s = 256 * iters / dt
+    print(f"total: {dt:.2f}s, {per_iter_ms:.1f} ms/iteration, "
+          f"{per_iter_ms / 256:.3f} ms/gate ({gates_per_s:.0f} gates/s; "
+          f"check: {per_iter_ms * gates_per_s / 1e3:.0f} gates/iter)",
+          flush=True)
 
 
 def run_sweep():

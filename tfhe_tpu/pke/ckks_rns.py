@@ -49,9 +49,14 @@ def rescale_rns(poly: DCRTPoly) -> DCRTPoly:
     half = np.uint64(q_last // 2)
     rows = []
     for i, m in enumerate(new_lp.moduli):
+        # centered residue: (c_last - q_last) mod m for the upper half, with
+        # both operands reduced mod m first so nothing wraps in uint64 when
+        # m < q_last (limbs of different bit widths).
+        q_last_m = np.uint64(q_last % m)
+        cl_m = c_last % np.uint64(m)
         cl = np.where(c_last > half,
-                      (c_last + np.uint64(m) - np.uint64(q_last)) % np.uint64(m),
-                      c_last % np.uint64(m))
+                      (cl_m + np.uint64(m) - q_last_m) % np.uint64(m),
+                      cl_m)
         diff = (p.rns[i] + np.uint64(m) - cl) % np.uint64(m)
         rows.append(modmath.mul(diff,
                                 np.uint64(pow(q_last, -1, m)), m))

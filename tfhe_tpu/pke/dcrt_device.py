@@ -93,15 +93,19 @@ def build_rescale(params: DCRTParams):
     inv = [np.uint32(pow(q_last, -1, m)) for m in keep]
     inv_sh = [np.uint32((pow(q_last, -1, m) << 32) // m) for m in keep]
 
+    q_last_mod = [np.uint32(q_last % m) for m in keep]
+
     @jax.jit
     def rescale(rns):                               # [L, N] u32 coeff-form
         c_last = rns[-1]
         rows = []
         for i, m in enumerate(keep):
-            um = np.uint32(m)
+            # reduce both operands mod m before the centered subtraction so
+            # nothing wraps in u32 when m < q_last (mixed-width limb chains)
+            cl_m = mm.mod_u32(c_last, m)
             cl = jnp.where(c_last > half,
-                           (c_last + um - np.uint32(q_last)) % um,
-                           mm.mod_u32(c_last, m))
+                           mm.submod(cl_m, q_last_mod[i], m),
+                           cl_m)
             diff = mm.submod(mm.mod_u32(rns[i], m), cl, m)
             rows.append(mm.mulmod_shoup(diff, inv[i], inv_sh[i], m))
         return jnp.stack(rows)

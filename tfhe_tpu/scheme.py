@@ -303,7 +303,9 @@ def bootstrap_func(backend: Backend, params: BinFHEParams, key: BTKey,
         t = np.arange(ctb.modulus, dtype=np.uint64).reshape(1, -1)
         try:
             fv = np.asarray(f(t, ctb.modulus, fmod))
-        except (IndexError, ValueError):
+        except Exception:
+            # any probe failure (per-ct closures may raise TypeError/KeyError
+            # on the [1, ctMod] shape) falls back to the host test-poly route
             fv = None
         if fv is not None and fv.size == ctb.modulus:
             out = fb(params, key, fv.reshape(-1), ctb, int(fmod))

@@ -150,8 +150,13 @@ def root_of_unity(order: int, modulus: int) -> int:
             else:
                 inc = ((rp - root) * pow(prod, -1, p)) % p
                 root, prod = root + prod * inc, prod * p
-        assert pow(root, order, modulus) == 1
-        assert pow(root, order // 2, modulus) == modulus - 1
+        if pow(root, order, modulus) != 1:
+            raise ValueError(
+                f"CRT-assembled root has wrong order for modulus {modulus}")
+        # negacyclic check only makes sense for even orders (2N-th roots)
+        if order % 2 == 0 and pow(root, order // 2, modulus) != modulus - 1:
+            raise ValueError(
+                f"no negacyclic {order}-th root of unity mod {modulus}")
         return root
     if (modulus - 1) % order != 0:
         raise ValueError(f"{order} does not divide {modulus}-1")

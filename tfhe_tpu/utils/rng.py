@@ -39,7 +39,13 @@ class BinFHERng:
         self.engine = engine
         if engine == "blake2xb":
             from .blake2 import Blake2XbEngine
-            self._b2 = Blake2XbEngine(0 if seed is None else seed)
+            if seed is None:
+                # entropy-seed like the reference's PRNG (blake2engine.h seeds
+                # from std::random_device); a fixed default would silently
+                # reproduce identical keys across runs.
+                import os
+                seed = np.frombuffer(os.urandom(64), dtype=np.uint32)
+            self._b2 = Blake2XbEngine(seed)
             self._rng = None
         elif engine == "pcg64":
             self._b2 = None
