@@ -1,47 +1,66 @@
 #!/usr/bin/env python
-"""Benchmark harness: amortized gate-bootstrap throughput on the active JAX
-devices (the analogue of the reference's `examples/time-estimate.cpp`
-EvalBinGate test: batched NAND at STD128, amortized per ciphertext).
+"""Benchmark harness: the reference's full `examples/time-estimate.cpp` matrix
+on the active JAX devices.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  gate    EvalBinGate(NAND)  STD128 classic        (time-estimate.cpp:31-58)
+  func    EvalFunc x^3 mod p logQ=12, throw 1      (time-estimate.cpp:60-96)
+  floor   EvalFloor          logQ=11               (time-estimate.cpp:98-123)
+  sign    EvalSign           logQ=17               (time-estimate.cpp:125-156)
+  decomp  EvalDecomp         logQ=23               (time-estimate.cpp:158-190)
 
-vs_baseline is measured against the driver target of >= 10k STD128 CGGI gate
-bootstraps/sec on a v5e-16, i.e. 625 bootstraps/sec/chip (BASELINE.md).
+Prints ONE JSON line on stdout. The headline metric stays the gate throughput
+(vs_baseline against 625 bootstraps/s/chip = 10k/s on v5e-16, BASELINE.md);
+the other four rows ride along in the "ops" field so every pipeline is
+captured round-over-round, with dimensional cross-checks (ms/ctx * ops/s must
+multiply out to the batch size).
 
-All progress chatter goes to stderr; stdout carries only the JSON line.
+Stabilization: the first timed iteration after the compile pass is discarded
+and the reported number is the median of the remaining iterations; each op is
+decrypt-verified on the compile pass. All progress chatter goes to stderr.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import statistics
 import sys
 import time
 
 import numpy as np
+
+T_START = time.time()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16384)
-    ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--smoke", action="store_true",
-                    help="tiny TOY run to validate the pipeline end-to-end")
-    ap.add_argument("--devices", type=int, default=0)
-    args = ap.parse_args()
+def _median_timed(fn, iters: int, discard: int = 1) -> tuple[float, list[float]]:
+    """Median wall-clock of `iters` calls after discarding the first `discard`."""
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    kept = times[discard:] if len(times) > discard else times
+    return statistics.median(kept), times
 
-    from tfhe_tpu.utils.jaxcfg import enable_compile_cache
-    enable_compile_cache()
+
+def _cache_stats(tag: str):
+    cache_dir = os.path.expanduser("~/.cache/tfhe_tpu_jax")
+    try:
+        n = len(os.listdir(cache_dir))
+    except OSError:
+        n = 0
+    log(f"compile cache [{tag}]: {n} entries at {cache_dir}")
+    return n
+
+
+def run_gate(args) -> dict:
     import jax
     from tfhe_tpu import BinFHEContext, Gate, ParamSet
-
-    devs = jax.devices()
-    log(f"devices: {devs}")
 
     if args.smoke:
         param_set, batch, iters = ParamSet.TOY, min(args.batch, 64), 2
@@ -51,17 +70,19 @@ def main():
     cc = BinFHEContext(seed=20260816)
     cc.generate_binfhe_context(param_set)
     p = cc.params
-    log(f"params: n={p.lwe.n} N={p.lwe.N} q={p.lwe.q} Q={p.lwe.Q} "
+    log(f"[gate] params: n={p.lwe.n} N={p.lwe.N} q={p.lwe.q} Q={p.lwe.Q} "
         f"qKS={p.lwe.q_ks} baseG={p.rgsw.base_g} digitsG2={p.rgsw.digits_g2}")
 
     t0 = time.time()
     sk = cc.key_gen()
     cc.bt_key_gen(sk)
-    log(f"keygen: {time.time() - t0:.1f}s")
+    t_keygen = time.time() - t0
+    log(f"[gate] keygen: {t_keygen:.1f}s")
 
     t0 = time.time()
     cc.device_setup(num_devices=args.devices)
-    log(f"device_setup: {time.time() - t0:.1f}s")
+    t_setup = time.time() - t0
+    log(f"[gate] device_setup: {t_setup:.1f}s")
 
     rng = np.random.default_rng(0)
     m1 = rng.integers(0, 2, batch)
@@ -69,40 +90,210 @@ def main():
     ct1 = cc.encrypt(sk, m1)
     ct2 = cc.encrypt(sk, m2)
 
-    # warm-up/compile
     t0 = time.time()
     out = cc.eval_bin_gate(Gate.NAND, ct1, ct2)
-    log(f"first batch (compile + run): {time.time() - t0:.1f}s")
+    t_compile = time.time() - t0
+    log(f"[gate] first batch (compile + run): {t_compile:.1f}s")
 
-    # correctness check on the warm-up batch
     dec = np.asarray(cc.decrypt(sk, out), dtype=np.int64)
     want = 1 - (m1 & m2)
     n_bad = int((dec != want).sum())
     if n_bad:
-        log(f"ERROR: {n_bad}/{batch} wrong gate results")
-        print(json.dumps({"metric": "gate_bootstraps_per_sec_per_chip",
-                          "value": 0.0, "unit": "bootstraps/s/chip",
-                          "vs_baseline": 0.0, "error": f"{n_bad} wrong results"}))
-        return 1
+        raise RuntimeError(f"{n_bad}/{batch} wrong gate results")
+
+    med, times = _median_timed(
+        lambda: cc.eval_bin_gate(Gate.NAND, ct1, ct2), iters)
+    per_sec = batch / med
+    n_chips = len(jax.devices()) if args.devices == 0 else args.devices
+    per_chip = per_sec / n_chips
+    log(f"[gate] iteration times: {[f'{t:.2f}' for t in times]} s "
+        f"(median {med:.2f}s of iters 2..{iters})")
+    log(f"[gate] {per_sec:.1f} bootstraps/s ({per_chip:.1f}/s/chip, "
+        f"{1e6 / per_sec:.1f} us/bootstrap amortized; "
+        f"check: {per_chip * med * n_chips:.0f} = batch {batch})")
+    return {
+        "value": round(per_chip, 2),
+        "unit": "bootstraps/s/chip",
+        "batch": batch, "iters": iters,
+        "iter_times_s": [round(t, 3) for t in times],
+        "keygen_s": round(t_keygen, 1),
+        "device_setup_s": round(t_setup, 1),
+        "first_batch_s": round(t_compile, 1),
+        "verified": True,
+    }
+
+
+def _run_functional(name, log_q, arb_func, throw, batch, iters, make_inputs):
+    """Shared shell for func/floor/sign/decomp: build ctx, compile+verify,
+    then median-of-iters timing. `make_inputs(cc, sk)` returns (run, check)."""
+    from tfhe_tpu import BinFHEContext, ParamSet
+
+    cc = BinFHEContext(seed=20260816)
+    cc.generate_binfhe_context(ParamSet.STD128, arb_func=arb_func,
+                               log_q=log_q, num_digits_to_throw=throw)
+    sk = cc.key_gen()
+    t0 = time.time()
+    cc.bt_key_gen(sk)
+    t_keygen = time.time() - t0
+    cc.device_setup()
+    run, check = make_inputs(cc, sk)
 
     t0 = time.time()
-    for _ in range(iters):
-        out = cc.eval_bin_gate(Gate.NAND, ct1, ct2)
-    elapsed = time.time() - t0
-    total = batch * iters
-    per_sec = total / elapsed
-    n_chips = len(devs) if args.devices == 0 else args.devices
-    per_chip = per_sec / n_chips
-    log(f"{total} bootstraps in {elapsed:.2f}s -> {per_sec:.1f}/s "
-        f"({per_chip:.1f}/s/chip, {1000.0 / per_sec * 1000:.3f} us/bootstrap amortized)")
+    out = run()
+    t_compile = time.time() - t0
+    log(f"[{name}] keygen {t_keygen:.1f}s, first run (compile) {t_compile:.1f}s")
+    if not check(out):
+        raise RuntimeError(f"{name}: wrong decrypt results")
 
-    print(json.dumps({
+    med, times = _median_timed(run, iters, discard=1 if iters > 1 else 0)
+    ms_ctx = med / batch * 1e3
+    ops_s = batch / med
+    log(f"[{name}] {ms_ctx:.2f} ms/ctx amortized, {ops_s:.1f} ops/s, "
+        f"batch {batch} (check: {ms_ctx * ops_s / 1e3:.0f} = batch); "
+        f"times {[f'{t:.2f}' for t in times]}")
+    return {
+        "value": round(ms_ctx, 3),
+        "unit": "ms/ctx",
+        "batch": batch, "iters": iters,
+        "iter_times_s": [round(t, 3) for t in times],
+        "keygen_s": round(t_keygen, 1),
+        "first_run_s": round(t_compile, 1),
+        "verified": True,
+    }
+
+
+def run_func(args) -> dict:
+    def make(cc, sk):
+        p = cc.get_max_plaintext_space()
+
+        def cube(m, p1):
+            return (m * m * m) % p1 if m < p1 else ((m - p1 // 2) ** 3) % p1
+
+        lut = cc.generate_lut_via_function(cube, p)
+        rng = np.random.default_rng(1)
+        m = rng.integers(0, p, args.func_batch)
+        ct = cc.encrypt(sk, m, "FRESH", p)
+        want = np.array([cube(int(x), p) for x in m])
+        return (lambda: cc.eval_func(ct, lut),
+                lambda out: np.array_equal(
+                    np.asarray(cc.decrypt(sk, out, p), dtype=np.int64), want))
+
+    return _run_functional("func", 12, True, 1, args.func_batch,
+                           args.func_iters, make)
+
+
+def run_floor(args) -> dict:
+    def make(cc, sk):
+        p = cc.get_max_plaintext_space()
+        rng = np.random.default_rng(2)
+        m = rng.integers(0, p, args.func_batch)
+        ct = cc.encrypt(sk, m, "FRESH", p)
+        return (lambda: cc.eval_floor(ct, 1),
+                lambda out: np.array_equal(
+                    np.asarray(cc.decrypt(sk, out, p // 2), dtype=np.int64),
+                    m // 2))
+
+    return _run_functional("floor", 11, False, 0, args.func_batch,
+                           args.func_iters, make)
+
+
+def run_sign(args) -> dict:
+    def make(cc, sk):
+        Q_enc = 1 << 17
+        q = cc.params.lwe.q
+        P = cc.get_max_plaintext_space() * (Q_enc // q)
+        rng = np.random.default_rng(3)
+        delta = rng.integers(-3, 4, args.func_batch)
+        m = (P // 2 + delta) % P
+        ct = cc.encrypt(sk, m, "FRESH", P, Q_enc)
+        return (lambda: cc.eval_sign(ct),
+                lambda out: np.array_equal(
+                    np.asarray(cc.decrypt(sk, out, 2), dtype=np.int64),
+                    (delta >= 0).astype(np.int64)))
+
+    return _run_functional("sign", 17, False, 0, args.func_batch,
+                           args.sign_iters, make)
+
+
+def run_decomp(args) -> dict:
+    def make(cc, sk):
+        Q_enc = 1 << 23
+        q = cc.params.lwe.q
+        p = cc.get_max_plaintext_space()
+        P = p * (Q_enc // q)
+        rng = np.random.default_rng(4)
+        m = rng.integers(0, P, args.func_batch)
+        ct = cc.encrypt(sk, m, "FRESH", P, Q_enc)
+
+        def check(out):
+            # reconstruct m from the base-p digit ciphertexts
+            digits = [np.asarray(cc.decrypt(sk, c, p), dtype=np.int64)
+                      for c in out]
+            got = np.zeros(args.func_batch, dtype=np.int64)
+            for d in reversed(digits):
+                got = got * p + d
+            return np.array_equal(got, m)
+
+        return (lambda: cc.eval_decomp(ct)), check
+
+    return _run_functional("decomp", 23, False, 0, args.func_batch,
+                           args.sign_iters, make)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384,
+                    help="gate batch (reference benchmark batch)")
+    ap.add_argument("--func-batch", type=int, default=4096,
+                    help="batch for func/floor/sign/decomp")
+    ap.add_argument("--iters", type=int, default=6,
+                    help="gate timed iterations (first discarded)")
+    ap.add_argument("--func-iters", type=int, default=3)
+    ap.add_argument("--sign-iters", type=int, default=2,
+                    help="iterations for the multi-round sign/decomp ops")
+    ap.add_argument("--ops", default="gate,func,floor,sign,decomp")
+    ap.add_argument("--budget", type=float, default=5400.0,
+                    help="wall-clock budget (s); remaining ops are skipped")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny TOY gate run to validate the pipeline")
+    ap.add_argument("--devices", type=int, default=0)
+    args = ap.parse_args()
+
+    from tfhe_tpu.utils.jaxcfg import enable_compile_cache
+    enable_compile_cache()
+    _cache_stats("start")
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    ops = ["gate"] if args.smoke else [o for o in args.ops.split(",") if o]
+    runners = {"gate": run_gate, "func": run_func, "floor": run_floor,
+               "sign": run_sign, "decomp": run_decomp}
+    results: dict[str, dict] = {}
+    for op in ops:
+        elapsed = time.time() - T_START
+        if op != "gate" and elapsed > args.budget:
+            log(f"[{op}] SKIPPED: budget exhausted ({elapsed:.0f}s elapsed)")
+            results[op] = {"skipped": f"budget exhausted at {elapsed:.0f}s"}
+            continue
+        try:
+            results[op] = runners[op](args)
+        except Exception as e:  # record the failure, keep benching
+            log(f"[{op}] FAILED: {type(e).__name__}: {e}")
+            results[op] = {"error": f"{type(e).__name__}: {e}"}
+    _cache_stats("end")
+
+    gate = results.get("gate", {})
+    headline = float(gate.get("value", 0.0)) if "value" in gate else 0.0
+    line = {
         "metric": "gate_bootstraps_per_sec_per_chip",
-        "value": round(per_chip, 2),
-        "unit": "bootstraps/s/chip (STD128 CGGI batched NAND)",
-        "vs_baseline": round(per_chip / 625.0, 4),
-    }))
-    return 0
+        "value": headline,
+        "unit": "bootstraps/s/chip (STD128 CGGI batched NAND, median)",
+        "vs_baseline": round(headline / 625.0, 4),
+        "ops": results,
+        "total_wall_s": round(time.time() - T_START, 1),
+    }
+    print(json.dumps(line))
+    return 0 if headline > 0 else 1
 
 
 if __name__ == "__main__":

@@ -1,8 +1,12 @@
 """Unified CryptoContext factory for the pke schemes.
 
 The analogue of the reference's `GenCryptoContext` / `CCParams<...>` front
-door (gen-cryptocontext.h, cryptocontextfactory.cpp): one entry point that
-dispatches to BFV/BGV/CKKS with scheme-appropriate defaults.
+door (gen-cryptocontext.h, cryptocontextfactory.cpp), including the
+security-driven parameter generation the reference runs inside it
+(schemebase/base-parametergeneration.cpp + per-scheme parametergen): one
+entry point that dispatches to BFV/BGV/CKKS, deriving the ring dimension and
+moduli chain from (mult_depth, security_level) when they are not given, and
+rejecting explicit choices that violate the requested HE-standard level.
 """
 
 from __future__ import annotations
@@ -10,29 +14,82 @@ from __future__ import annotations
 from .bfv import BFVContext, BFVParams
 from .bgv import BGVContext, BGVParams
 from .ckks import CKKSContext, CKKSParams
+from .dcrt import DCRTParams, _moduli_chain_pattern
+from .parametergen import (SecurityError, derive_bfv, derive_bgv,
+                           derive_ckks)
+
+__all__ = ["gen_crypto_context", "SecurityError"]
 
 
-def gen_crypto_context(scheme: str, *, N: int = 4096, mult_depth: int = 1,
-                       plaintext_modulus: int = 257, scale_bits: int = 40,
-                       limb_bits: int = 54, seed: int | None = None):
+def gen_crypto_context(scheme: str, *, N: int | None = None,
+                       mult_depth: int = 1, plaintext_modulus: int = 257,
+                       scale_bits: int = 40, first_mod_bits: int = 60,
+                       limb_bits: int = 54,
+                       security_level: str | None = None,
+                       key_switch: str = "bv",
+                       seed: int | None = None):
     """GenCryptoContext analogue.
 
     scheme: "BFV" | "BGV" | "CKKS".
     For BFV/BGV: `plaintext_modulus` (prime t = 1 mod 2N enables packed
-    encoding). For CKKS: `scale_bits` sets the default encoding scale.
+    encoding). For CKKS: `scale_bits` sets the default encoding scale and
+    `first_mod_bits` the wide first limb.
+
+    Parameter generation: when `N` is omitted, the ring dimension and the
+    moduli chain are derived from (`mult_depth`, `security_level`) — the
+    default level is 128_classic, like the reference's HEStd_128_classic
+    default. When `N` is given explicitly, it is validated against
+    `security_level` if one is requested (pass "NotSet" — or leave the
+    default, None, which only skips the check for explicit-N calls — to run
+    toy/test dimensions).
     """
     s = scheme.upper()
+    if security_level is None:
+        # explicit-N callers keep their hand-picked (often toy) dimensions
+        # unchecked, exactly like the reference's HEStd_NotSet escape hatch
+        security_level = "NotSet" if N is not None else "128_classic"
+    if security_level == "NotSet" and N is None:
+        raise ValueError("N must be given when security_level is 'NotSet'")
+
     if s in ("BFV", "BFVRNS"):
-        return BFVContext(BFVParams.create(N=N, t=plaintext_modulus,
-                                           mult_depth=mult_depth,
-                                           limb_bits=limb_bits), seed=seed)
-    if s in ("BGV", "BGVRNS"):
-        return BGVContext(BGVParams.create(N=N, t=plaintext_modulus,
-                                           mult_depth=mult_depth,
-                                           limb_bits=limb_bits), seed=seed)
-    if s in ("CKKS", "CKKSRNS"):
-        return CKKSContext(CKKSParams.create(N=N, mult_depth=mult_depth,
-                                             scale_bits=scale_bits,
-                                             limb_bits=min(limb_bits, 50)),
-                           seed=seed)
-    raise ValueError(f"unknown scheme {scheme!r} (BFV, BGV, or CKKS)")
+        if security_level == "NotSet":
+            return BFVContext(BFVParams.create(N=N, t=plaintext_modulus,
+                                               mult_depth=mult_depth,
+                                               limb_bits=limb_bits), seed=seed)
+        d = derive_bfv(mult_depth, plaintext_modulus, security_level,
+                       ring_dim=N, limb_bits=limb_bits)
+        params = BFVParams(N=d.ring_dim, t=plaintext_modulus,
+                           dcrt=DCRTParams.create(d.ring_dim, d.n_limbs,
+                                                  limb_bits))
+        cc = BFVContext(params, seed=seed)
+    elif s in ("BGV", "BGVRNS"):
+        if security_level == "NotSet":
+            return BGVContext(BGVParams.create(N=N, t=plaintext_modulus,
+                                               mult_depth=mult_depth,
+                                               limb_bits=limb_bits), seed=seed)
+        d = derive_bgv(mult_depth, plaintext_modulus, security_level,
+                       ring_dim=N)
+        params = BGVParams(N=d.ring_dim, t=plaintext_modulus,
+                           dcrt=DCRTParams.create(d.ring_dim, d.n_limbs,
+                                                  d.limb_bits[0],
+                                                  extra_mod=plaintext_modulus))
+        cc = BGVContext(params, seed=seed)
+    elif s in ("CKKS", "CKKSRNS"):
+        if security_level == "NotSet":
+            return CKKSContext(CKKSParams.create(N=N, mult_depth=mult_depth,
+                                                 scale_bits=scale_bits,
+                                                 limb_bits=min(limb_bits, 50)),
+                               seed=seed)
+        d = derive_ckks(mult_depth, scale_bits, first_mod_bits,
+                        security_level, ring_dim=N, key_switch=key_switch)
+        params = CKKSParams(
+            N=d.ring_dim,
+            dcrt=DCRTParams(N=d.ring_dim,
+                            moduli=_moduli_chain_pattern(d.ring_dim,
+                                                         d.limb_bits)),
+            scale=float(1 << scale_bits))
+        cc = CKKSContext(params, seed=seed)
+    else:
+        raise ValueError(f"unknown scheme {scheme!r} (BFV, BGV, or CKKS)")
+    cc.derived = d               # inspection hook (CCParams print analogue)
+    return cc

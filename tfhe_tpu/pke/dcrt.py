@@ -50,6 +50,28 @@ def _prev_prime(p: int, m: int) -> int:
     return previous_prime(p, m)
 
 
+@lru_cache(maxsize=None)
+def _moduli_chain_pattern(N: int, bits_pattern: tuple[int, ...],
+                          extra_mod: int = 1) -> tuple[int, ...]:
+    """Distinct NTT primes with per-limb target bit sizes, in chain order
+    (first limb first). The CKKS production chains use a wide first modulus
+    followed by scale-sized limbs (ckksrns-parametergeneration.cpp picks its
+    chain the same way: firstModSize then scalingModSize each level)."""
+    import math
+
+    m = 2 * N * extra_mod // math.gcd(2 * N, extra_mod)
+    chosen: list[int] = []
+    cursor: dict[int, int] = {}       # target bits -> last prime taken
+    for bits in bits_pattern:
+        p = cursor.get(bits)
+        p = ntt_prime(bits, m) if p is None else _prev_prime(p, m)
+        while p in chosen:            # cross-size collision (adjacent sizes)
+            p = _prev_prime(p, m)
+        cursor[bits] = p
+        chosen.append(p)
+    return tuple(chosen)
+
+
 @dataclass(frozen=True)
 class DCRTParams:
     N: int
