@@ -56,10 +56,23 @@ class CKKSCiphertext:
 
 
 @lru_cache(maxsize=None)
+def _slot_exponents(N: int) -> np.ndarray:
+    """Root exponent of slot j: e_j = 5^j mod 2N. {+-5^j} covers every odd
+    residue mod 2N exactly once, so this is a full conjugate-pair set; in
+    this ordering the Galois map X -> X^(5^r) cyclically rotates slots
+    (slot j of the image reads slot j+r), which is why the reference packs
+    slots the same way (ckksrns-fhe.cpp rotation indexing)."""
+    e = np.empty(N // 2, dtype=np.int64)
+    cur = 1
+    for j in range(N // 2):
+        e[j] = cur
+        cur = (cur * 5) % (2 * N)
+    return e
+
+
 def _embedding_roots(N: int) -> np.ndarray:
-    """One 2N-th primitive root per conjugate pair: zeta^(2j+1), j < N/2."""
-    j = np.arange(N // 2)
-    return np.exp(1j * np.pi * (2 * j + 1) / N)
+    """One 2N-th primitive root per conjugate pair: zeta^(5^j), j < N/2."""
+    return np.exp(1j * np.pi * _slot_exponents(N) / N)
 
 
 def encode(params: CKKSParams, z, scale: float | None = None) -> np.ndarray:

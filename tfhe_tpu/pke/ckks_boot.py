@@ -213,7 +213,8 @@ def eval_bootstrap_setup(ctx: CKKSContext, K: float = 8.0,
     double-angle iterations)."""
     p = ctx.params
     N, s = p.N, p.slots
-    zeta = np.exp(1j * np.pi * (2 * np.arange(s) + 1) / N)  # per-slot root
+    from .ckks import _slot_exponents
+    zeta = np.exp(1j * np.pi * _slot_exponents(N) / N)      # per-slot root
     k_idx = np.arange(s)
     # CTS: w_k = m_k + i m_{k+s} = sum_j A[k,j] z_j + B[k,j] conj(z_j)
     cts_A = (zeta[None, :] ** (-k_idx[:, None])
@@ -255,14 +256,18 @@ def eval_bootstrap_keygen(ctx: CKKSContext, sk) -> dict:
 
 
 def _auto_slot_action(N: int, a: int) -> tuple[np.ndarray, np.ndarray]:
-    """Slot action of X -> X^a in the natural (2j+1)-root ordering used by
+    """Slot action of X -> X^a in the 5-orbit root ordering used by
     encode(): slot j of sigma_a(m) holds z_u (flag True) or conj(z_u)
-    (flag False), where (2j+1)*a mod 2N = 2u+1 or 2N-(2u+1)."""
-    s = N // 2
-    e = ((2 * np.arange(s) + 1) * a) % (2 * N)
-    plain = e < N
-    u = np.where(plain, (e - 1) // 2, (2 * N - e - 1) // 2)
-    return u.astype(np.int64), plain
+    (flag False), where e_j*a mod 2N = e_u or 2N-e_u (e_j = 5^j). For
+    a = 5^r this is exactly the cyclic shift u = j+r, all flags plain."""
+    from .ckks import _slot_exponents
+    e = _slot_exponents(N)
+    pos = {int(ei): u for u, ei in enumerate(e)}
+    out_e = (e * a) % (2 * N)
+    plain = np.array([int(x) in pos for x in out_e])
+    u = np.array([pos[int(x)] if p else pos[2 * N - int(x)]
+                  for x, p in zip(out_e, plain)], dtype=np.int64)
+    return u, plain
 
 
 def eval_linear_transform(ctx: CKKSContext, ct: CKKSCiphertext,

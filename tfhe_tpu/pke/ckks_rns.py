@@ -64,6 +64,37 @@ def rescale_rns(poly: DCRTPoly) -> DCRTPoly:
 
 
 @lru_cache(maxsize=None)
+def alpha_fixed_tables(src: tuple):
+    """Fixed-point reciprocals for the FBC correction term
+    alpha = round(sum_i y_i / q_i): returns (F, shifts s_i, t_i) with
+    t_i = floor(2^(F+s_i) / q_i) and s_i = max(0, bits(q_i) - 31), so each
+    term is (y_i >> s_i) * t_i < 2^F regardless of limb width.
+
+    Integer fixed point (not float) so host numpy and the u32 device kernels
+    compute the IDENTICAL alpha on every input — device towers stay
+    bit-identical to host towers through key switching. F is capped at
+    31 + min_bits so t_i < 2^32 (device mulhi32 operand) whenever every limb
+    is a device limb (< 2^31, where s_i = 0); the s-term sum stays < 2^57
+    (u64 / u32-pair accumulator). Per-term error < 2^-21 + 2^-30, so the
+    rounding matches the real value except in a ~2^-16 tie band, where either
+    rounding is a valid HPS representative (error still one multiple of D)."""
+    b_min = min(q.bit_length() for q in src)
+    F = min(31 + b_min, 52)
+    shifts = tuple(max(0, q.bit_length() - 31) for q in src)
+    t = tuple((1 << (F + s)) // q for s, q in zip(shifts, src))
+    return F, shifts, t
+
+
+def _fbc_alpha(y: np.ndarray, src: tuple) -> np.ndarray:
+    """alpha = round(sum_i y_i/q_i) in shared fixed point (see above)."""
+    F, shifts, t = alpha_fixed_tables(tuple(src))
+    acc = np.zeros(y.shape[-1], dtype=np.uint64)
+    for i in range(len(src)):
+        acc = acc + (y[i] >> np.uint64(shifts[i])) * np.uint64(t[i])
+    return ((acc + np.uint64(1 << (F - 1))) >> np.uint64(F)).astype(np.int64)
+
+
+@lru_cache(maxsize=None)
 def _fbc_tables(src: tuple, dst: tuple):
     """Precompute for FBC from basis `src` (product D) to basis `dst`:
     (D/q_i)^{-1} mod q_i, (D/q_i) mod each dst prime, D mod each dst prime."""
@@ -71,23 +102,21 @@ def _fbc_tables(src: tuple, dst: tuple):
     for q in src:
         D *= q
     inv = np.array([pow((D // q) % q, -1, q) for q in src], dtype=np.uint64)
-    frac_den = np.array(src, dtype=np.float64)
     dhat_dst = np.array([[(D // q) % m for q in src] for m in dst],
                         dtype=np.uint64)
     d_dst = np.array([D % m for m in dst], dtype=np.uint64)
-    return inv, frac_den, dhat_dst, d_dst
+    return inv, dhat_dst, d_dst
 
 
 def fast_base_convert(rns_src: np.ndarray, src: tuple, dst: tuple) -> np.ndarray:
     """HPS fast base conversion of [len(src), N] residues (value x in [0, D))
     to the dst basis: sum_i y_i*(D/q_i) - alpha*D with y_i = [x*(D/q_i)^-1]_q_i
-    and alpha = round(sum_i y_i/q_i). Error: represents x + e*D with
-    |e| <= 1/2 from the float rounding — the standard approximate extension."""
-    inv, frac_den, dhat_dst, d_dst = _fbc_tables(tuple(src), tuple(dst))
+    and alpha = round(sum_i y_i/q_i) in shared fixed point. Error: represents
+    x + e*D with |e| <= 1 — the standard approximate extension."""
+    inv, dhat_dst, d_dst = _fbc_tables(tuple(src), tuple(dst))
     y = np.stack([modmath.mul(rns_src[i], inv[i], src[i])
                   for i in range(len(src))])             # [s, N]
-    alpha = np.rint((y.astype(np.float64) / frac_den[:, None]).sum(0))
-    alpha = alpha.astype(np.int64)
+    alpha = _fbc_alpha(y, src)
     out = []
     for j, m in enumerate(dst):
         acc = np.zeros(rns_src.shape[-1], dtype=np.uint64)
@@ -196,14 +225,19 @@ def _prod(xs) -> int:
 
 class CKKSRnsContext:
     """CKKS with every homomorphic operation in pure RNS (per-limb numpy,
-    device-offload-ready). Encode/decode and encryption reuse pke/ckks.py."""
+    device-offload-ready). Encode/decode and encryption reuse pke/ckks.py.
 
-    def __init__(self, base_ctx, dnum: int = 2):
+    `ks_limb_bits` sets the special-modulus limb width of the hybrid keys —
+    pass <= 30 when the chain is destined for the u32 device offload
+    (pke/ckks_device.py), which needs every PQ limb below 2^31."""
+
+    def __init__(self, base_ctx, dnum: int = 2, ks_limb_bits: int = 40):
         from .ckks import CKKSContext
         assert isinstance(base_ctx, CKKSContext)
         self.ctx = base_ctx
         self.params = base_ctx.params
         self.dnum = dnum
+        self.ks_limb_bits = ks_limb_bits
 
     def relin_key_gen(self, sk) -> dict:
         """One hybrid key per level chain (length L down to 2) — the
@@ -212,13 +246,54 @@ class CKKSRnsContext:
         from .keyswitch import negacyclic_square_signed
         s_signed = sk[1]
         s2 = negacyclic_square_signed(s_signed)
+        return self._per_level_keys(s2, s_signed)
+
+    def _per_level_keys(self, s_from_signed, s_to_signed) -> dict:
         full = self.params.dcrt
         keys = {}
         for lvl_len in range(2, full.L + 1):
             qp = DCRTParams(N=full.N, moduli=full.moduli[:lvl_len])
-            keys[lvl_len] = rns_hybrid_ks_gen(self.ctx.rng, qp, s2, s_signed,
-                                              self.dnum)
+            keys[lvl_len] = rns_hybrid_ks_gen(
+                self.ctx.rng, qp, s_from_signed, s_to_signed, self.dnum,
+                limb_bits=self.ks_limb_bits)
         return keys
+
+    def galois_key_gen(self, sk, steps: int) -> dict:
+        """Per-level hybrid keys switching s(X^k) -> s for the slot rotation
+        by `steps` (the RNS form of EvalRotateKeyGen)."""
+        from .encoding import rotation_automorphism_index
+        from .keyswitch import automorph_signed
+        k = rotation_automorphism_index(self.params.N, steps)
+        keys = self._per_level_keys(automorph_signed(sk[1], k), sk[1])
+        for key in keys.values():
+            key.galois_k = k
+        return keys
+
+    def eval_rotate(self, ct, steps: int, gk: dict):
+        """Packed slot rotation in pure RNS: coefficient-domain automorphism
+        of both polys, then hybrid key switch of the automorphed c1."""
+        from .ckks import CKKSCiphertext
+        from .encoding import (apply_automorphism_coeff,
+                               rotation_automorphism_index)
+        k = rotation_automorphism_index(self.params.N, steps)
+        lp = ct.polys[0].params
+
+        def auto(p: DCRTPoly) -> DCRTPoly:
+            c = p.to_coeff()
+            rows = np.stack([apply_automorphism_coeff(c.rns[i], k, m)
+                             for i, m in enumerate(lp.moduli)])
+            return DCRTPoly(lp, rows, eval_form=False).to_eval()
+
+        c0a, c1a = auto(ct.polys[0]), auto(ct.polys[1])
+        key = gk[lp.L] if isinstance(gk, dict) else gk
+        d0, d1 = rns_hybrid_key_switch(key, c1a, lp.moduli)
+        return CKKSCiphertext([c0a + d0, d1], ct.scale, self.params)
+
+    def eval_add(self, a, b):
+        from .ckks import CKKSCiphertext
+        assert abs(a.scale - b.scale) < 1e-6 * a.scale
+        return CKKSCiphertext([a.polys[0] + b.polys[0],
+                               a.polys[1] + b.polys[1]], a.scale, self.params)
 
     def eval_mult(self, a, b, rlk: RnsHybridKey, rescale: bool = True):
         """Tensor product directly in RNS eval form (no CRT interpolation),
