@@ -389,3 +389,237 @@ def eval_bootstrap(ctx: CKKSContext, ct: CKKSCiphertext, pre: BootstrapPrecom,
 
     # 4. SlotsToCoeffs
     return eval_linear_transform(ctx, recomb, pre.stc_A, pre.stc_B, keys)
+
+
+# -- production-scale path: BSGS transforms + Paterson-Stockmeyer ----------
+#
+# The components the reference ships for real ring dimensions
+# (ckksrns-fhe.cpp CoeffsToSlots rotation batching; ckksrns-advancedshe.cpp
+# EvalChebyshevSeriesPS / LongDivisionChebyshev): O(sqrt(slots)) Galois keys
+# and rotations per linear transform instead of O(slots), and O(sqrt(deg))
+# ciphertext multiplications with O(log deg) depth instead of O(deg)/O(deg).
+
+
+def _bsgs_split(s: int) -> tuple[int, int]:
+    """Baby/giant sizes b, g with b*g >= s, b ~ sqrt(s)."""
+    b = max(1, int(np.ceil(np.sqrt(s))))
+    return b, (s + b - 1) // b
+
+
+def bsgs_key_indices(N: int, slots: int) -> list[int]:
+    """The Galois elements the BSGS transforms need: baby rotations 1..b-1,
+    giant rotations b, 2b, ..., and conjugation — 2*sqrt(s) keys instead of
+    the dense transform's s (the reference's rotation-plan index set)."""
+    b, g = _bsgs_split(slots)
+    ks = {conj_element(N)}
+    for r in range(1, b):
+        ks.add(galois_element(r, N))
+    for i in range(1, g):
+        ks.add(galois_element(i * b, N))
+    return sorted(ks)
+
+
+def eval_bootstrap_keygen_bsgs(ctx: CKKSContext, sk, dnum: int = 3,
+                               ks_limb_bits: int = 40) -> dict:
+    """Hybrid Galois keys for the BSGS index set (EvalBootstrapKeyGen with
+    the rotation plan; keys are hybrid/GHS so one key serves every level)."""
+    from .keyswitch import galois_key_gen_hybrid
+    keys = {}
+    for k in bsgs_key_indices(ctx.params.N, ctx.params.slots):
+        keys[k] = galois_key_gen_hybrid(ctx.rng, ctx.params.dcrt, sk[1], k,
+                                        dnum, limb_bits=ks_limb_bits)
+    return keys
+
+
+def eval_linear_transform_bsgs(ctx: CKKSContext, ct: CKKSCiphertext,
+                               A: np.ndarray, B: np.ndarray,
+                               keys: dict) -> CKKSCiphertext:
+    """w = A z + B conj(z) by baby-step/giant-step diagonal decomposition.
+
+    In the 5-orbit slot ordering sigma_r(z)_j = z_{j+r}, so
+    A z = sum_r diag_r(A) . sigma_r(z) with diag_r(A)[j] = A[j, (j+r) mod s],
+    and with r = i*b + k:
+        A z = sum_i sigma_{ib}( sum_k roll(diag_{ib+k}, ib) . sigma_k(z) ).
+    Costs b-1 baby + g-1 giant rotations + 1 conjugation (2 sqrt(s) keyswitch
+    ops) and one rescale level — the same restructuring as the reference's
+    CoeffsToSlots rotation batching (ckksrns-fhe.cpp)."""
+    p = ctx.params
+    N, s = p.N, p.slots
+    b, g = _bsgs_split(s)
+    j = np.arange(s)
+    ct_c = eval_conjugate(ctx, ct, keys)
+    bab = [ct]
+    bab_c = [ct_c]
+    for k in range(1, b):
+        a = galois_element(k, N)
+        bab.append(eval_automorphism(ctx, ct, a, keys[a]))
+        bab_c.append(eval_automorphism(ctx, ct_c, a, keys[a]))
+    acc = None
+    for i in range(g):
+        inner = None
+        for k in range(b):
+            r = i * b + k
+            if r >= s:
+                break
+            dP = A[j, (j + r) % s]
+            dC = B[j, (j + r) % s]
+            for d, src in ((dP, bab[k]), (dC, bab_c[k])):
+                if not np.any(np.abs(d) > 1e-14):
+                    continue
+                term = mult_plain_vec(ctx, src, np.roll(d, i * b),
+                                      rescale=False)
+                inner = term if inner is None else add_ct(inner, term)
+        if inner is None:
+            continue
+        inner = ctx.rescale(inner)
+        if i > 0:
+            a = galois_element(i * b, N)
+            inner = eval_automorphism(ctx, inner, a, keys[a])
+        acc = inner if acc is None else add_ct(acc, inner)
+    return acc
+
+
+def _cheb_divmod_T(c: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
+    """Chebyshev-basis long division f = q*T_e + r with deg f < 2e,
+    deg r < e (LongDivisionChebyshev, ckksrns-advancedshe.cpp): uses
+    T_d T_e = (T_{e+d} + T_{e-d}) / 2."""
+    n = len(c) - 1
+    assert n < 2 * e, "divisor must satisfy deg f < 2e"
+    r = np.array(c, dtype=np.float64)
+    if n < e:
+        return np.zeros(1), r
+    q = np.zeros(n - e + 1)
+    for d in range(n - e, 0, -1):
+        q[d] = 2.0 * r[e + d]
+        r[e + d] = 0.0
+        r[e - d] -= q[d] / 2.0
+    q[0] = r[e]
+    r[e] = 0.0
+    return q, r[:e]
+
+
+def _cheb_apply(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Plain (numpy) Chebyshev series evaluation, for tests/validation."""
+    return np.polynomial.chebyshev.chebval(x, coeffs)
+
+
+class _PSEvaluator:
+    """Paterson-Stockmeyer evaluation of a Chebyshev series on a ciphertext
+    (EvalChebyshevSeriesPS): baby powers T_1..T_k, giant powers T_{k*2^i}
+    by double-angle, then recursive f = q*T_e + r splitting. O(sqrt(deg))
+    ciphertext mults, O(log deg) depth."""
+
+    def __init__(self, ctx: CKKSContext, t: CKKSCiphertext, rlk, k: int):
+        self.ctx, self.rlk, self.k = ctx, rlk, k
+        self.T: dict[int, CKKSCiphertext] = {1: t}
+
+    def _baby(self, jj: int) -> CKKSCiphertext:
+        if jj not in self.T:
+            hi, lo = (jj + 1) // 2, jj // 2
+            prod2 = scale_int(mult_ct(self.ctx, self._baby(hi),
+                                      self._baby(lo), self.rlk), 2)
+            if jj % 2 == 0:
+                self.T[jj] = add_const(self.ctx, prod2, -1.0)   # 2T_a^2 - 1
+            else:
+                self.T[jj] = sub_ct(prod2, self._baby(1))       # 2T_aT_{a+1}-T_1
+        return self.T[jj]
+
+    def giant(self, e: int) -> CKKSCiphertext:
+        if e not in self.T:
+            if e <= self.k:
+                return self._baby(e)
+            half = self.giant(e // 2)
+            self.T[e] = add_const(
+                self.ctx, scale_int(mult_ct(self.ctx, half, half, self.rlk), 2),
+                -1.0)
+        return self.T[e]
+
+    def run(self, coeffs: np.ndarray):
+        ct, const = self._eval(np.asarray(coeffs, dtype=np.float64))
+        return add_const(self.ctx, ct, const) if abs(const) > 1e-14 else ct
+
+    def _eval(self, c: np.ndarray):
+        """Returns (ciphertext | None, float const): value = ct + const."""
+        n = len(c) - 1
+        while n > 0 and abs(c[n]) < 1e-14:
+            n -= 1
+        c = c[:n + 1]
+        if n < self.k:                       # leaf: baby linear combination
+            acc = None
+            for jj in range(1, n + 1):
+                if abs(c[jj]) < 1e-14:
+                    continue
+                term = mult_const(self.ctx, self._baby(jj), float(c[jj]))
+                acc = term if acc is None else add_ct(acc, term)
+            return acc, float(c[0])
+        e = self.k
+        while 2 * e <= n:
+            e *= 2
+        q, r = _cheb_divmod_T(c, e)
+        q_ct, q_const = self._eval(q)
+        r_ct, r_const = self._eval(r)
+        Te = self.giant(e)
+        parts = []
+        if q_ct is not None:
+            parts.append(mult_ct(self.ctx, q_ct, Te, self.rlk))
+        if abs(q_const) > 1e-14:
+            parts.append(mult_const(self.ctx, Te, q_const))
+        if r_ct is not None:
+            parts.append(r_ct)
+        acc = parts[0]
+        for pt in parts[1:]:
+            acc = add_ct(acc, pt)
+        return acc, r_const
+
+
+def eval_chebyshev_ps(ctx: CKKSContext, t: CKKSCiphertext, coeffs: np.ndarray,
+                      rlk, k: int | None = None) -> CKKSCiphertext:
+    """sum_j c_j T_j(t) via Paterson-Stockmeyer (EvalChebyshevSeriesPS)."""
+    deg = len(coeffs) - 1
+    if k is None:
+        k = max(2, 1 << int(np.ceil(np.log2(max(2.0, np.sqrt(deg / 2))))))
+    return _PSEvaluator(ctx, t, rlk, k).run(coeffs)
+
+
+def eval_mod_ps(ctx: CKKSContext, t: CKKSCiphertext, pre: BootstrapPrecom,
+                rlk) -> CKKSCiphertext:
+    """eval_mod with the Paterson-Stockmeyer Chebyshev core."""
+    w = eval_chebyshev_ps(ctx, t, pre.cheb_coeffs, rlk)
+    for _ in range(pre.double_angles):
+        w = add_const(ctx, scale_int(mult_ct(ctx, w, w, rlk), 2), -1.0)
+    return mult_const(ctx, w, pre.r / (2 * np.pi))
+
+
+def eval_bootstrap_bsgs(ctx: CKKSContext, ct: CKKSCiphertext,
+                        pre: BootstrapPrecom, keys: dict,
+                        rlk) -> CKKSCiphertext:
+    """EvalBootstrap with the production-scale internals: BSGS CoeffsToSlots
+    / SlotsToCoeffs (O(sqrt(s)) keys + rotations) and Paterson-Stockmeyer
+    EvalMod (O(sqrt(deg)) mults, O(log deg) depth) — the configuration the
+    reference ships for large rings (ckksrns-fhe.cpp + EvalChebyshevSeriesPS)."""
+    p = ctx.params
+    lp = ct.level_params
+    assert lp.L == 1, "bootstrap expects a ciphertext at the last level"
+    assert len(ct.polys) == 2
+
+    full = p.dcrt
+    raised = []
+    for poly in ct.polys:
+        c = poly.to_centered_bigint()
+        raised.append(DCRTPoly.from_bigint(
+            full, [x % full.Q for x in c]).to_eval())
+    ct1 = CKKSCiphertext(raised, ct.scale, p)
+
+    norm = 1.0 / (pre.K * pre.r)
+    ct_slots = eval_linear_transform_bsgs(ctx, ct1, pre.cts_A * norm,
+                                          pre.cts_B * norm, keys)
+
+    w_c = eval_conjugate(ctx, ct_slots, keys)
+    ct_re = mult_const(ctx, add_ct(ct_slots, w_c), 0.5)
+    ct_im = mult_plain_vec(ctx, sub_ct(ct_slots, w_c),
+                           np.full(p.slots, -0.5j))
+    m_re = eval_mod_ps(ctx, ct_re, pre, rlk)
+    m_im = eval_mod_ps(ctx, ct_im, pre, rlk)
+    recomb = add_ct(m_re, mult_plain_vec(ctx, m_im, np.full(p.slots, 1j)))
+
+    return eval_linear_transform_bsgs(ctx, recomb, pre.stc_A, pre.stc_B, keys)
