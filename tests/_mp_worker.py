@@ -60,5 +60,44 @@ assert np.array_equal(np.asarray(ref.a), np.asarray(dev.a)), "a mismatch"
 assert np.array_equal(np.asarray(ref.b), np.asarray(dev.b)), "b mismatch"
 dec = np.asarray(cc.decrypt(sk, dev), dtype=np.int64)
 assert np.array_equal(dec, 1 - (m1 & m2)), f"decrypt mismatch: {dec}"
+
+# -- RNS two-prime functional bootstrap across both processes ---------------
+# (interpret-mode Pallas under shard_map over the distributed mesh; the
+# composite-Q pipeline the accelerated 54-bit sets use)
+os.environ["TFHE_TPU_PALLAS"] = "1"
+from tfhe_tpu import lwe as lwe_mod  # noqa: E402
+from tfhe_tpu.params import (BinFHEParams, LWEParams, Method,  # noqa: E402
+                             RGSWParams)
+from tfhe_tpu.utils.numtheory import previous_prime  # noqa: E402
+from tfhe_tpu.utils.rng import BinFHERng  # noqa: E402
+
+N = 256
+q1 = ntt_prime(17, 2 * N)
+q2 = previous_prime(q1, 2 * N)
+params_rns = BinFHEParams(
+    lwe=LWEParams(n=8, N=N, q=512, Q=q1 * q2, q_ks=1 << 35, std=3.19,
+                  base_ks=32),
+    rgsw=RGSWParams(N=N, Q=q1 * q2, q=512, base_g=1 << 7, base_r=23,
+                    method=Method.GINX, std=3.19))
+rng = BinFHERng(31)
+sk_r = lwe_mod.key_gen(rng, params_rns.lwe.n, params_rns.lwe.q_ks)
+key_r = scheme.key_gen(rng, params_rns, sk_r)
+be_r = JaxBackend(mesh=mesh)
+assert be_r.supports(params_rns)
+npr = np.random.default_rng(37)
+a_r = npr.integers(0, 512, (B, params_rns.lwe.n)).astype(np.uint64)
+b_r = npr.integers(0, 512, B).astype(np.uint64)
+ct_r = lwe_mod.LWECiphertext(a_r, b_r, 512)
+
+
+def _f(x, q, fmod):
+    return (np.asarray(x, dtype=np.uint64) * 3) % np.uint64(fmod)
+
+
+ref_f = scheme.bootstrap_func(RefBackend(), params_rns, key_r, ct_r, _f, 512)
+dev_f = scheme.bootstrap_func(be_r, params_rns, key_r, ct_r, _f, 512)
+assert np.array_equal(np.asarray(ref_f.a), np.asarray(dev_f.a)), "rns func a"
+assert np.array_equal(np.asarray(ref_f.b), np.asarray(dev_f.b)), "rns func b"
+
 print(f"proc {proc_id}: ok", flush=True)
 jax.distributed.shutdown()

@@ -265,3 +265,29 @@ def test_accelerated_logq11_floor_bit_exact():
     assert np.array_equal(np.asarray(ref_out.a), np.asarray(dev_out.a))
     assert np.array_equal(np.asarray(ref_out.b), np.asarray(dev_out.b))
     assert np.array_equal(np.asarray(cc.decrypt(sk, dev_out, p // 2)), m // 2)
+
+
+def test_rns_multi_lut_fast_path_bit_exact(ctx_rns):
+    """Per-ciphertext LUT EvalFunc through the RNS device fast path (value
+    tables gathered in-graph per row, no host-built accumulator uploads) ==
+    host oracle bit for bit — the multi-LUT GPU overload,
+    binfhe-base-scheme.cpp:791-924."""
+    cc, sk = ctx_rns
+    be = JaxBackend()
+    q = cc.params.lwe.q
+    rng = np.random.default_rng(9)
+    B = 4
+    half = rng.integers(1, q, (B, q // 2)).astype(np.uint64)
+    luts = np.concatenate([half, (q - half) % q], axis=1)  # negacyclic rows
+    m = rng.integers(0, 2, B)
+    ct = cc.encrypt(sk, m)
+    ref = scheme.eval_func(RefBackend(), cc.params, cc.bt_key, ct, luts,
+                           cc.params.beta, per_ct_luts=True)
+    dev = scheme.eval_func(be, cc.params, cc.bt_key, ct, luts,
+                           cc.params.beta, per_ct_luts=True)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    # the per-ct fast path must actually engage (a [B, ctMod] table)
+    ctb, _ = scheme._as_batch(ct)
+    fv2 = np.stack([np.arange(q, dtype=np.uint64) % 7] * B)
+    assert be.func_bootstrap(cc.params, cc.bt_key, fv2, ctb, q) is not None

@@ -250,12 +250,15 @@ def _crt_combine_pair(o1, o2, q1: int, q2: int):
 
 
 @functools.lru_cache(maxsize=None)
-def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int):
+def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int,
+                       per_ct: bool = False):
     """Device-side functional test-polynomial builder for the RNS lanes
     (the batched BootstrapFuncCore, binfhe-base-scheme.cpp:1147-1192, done
     in-graph): m[j*(2N/ctMod)] = g[(b - j) mod ctMod] gathered from the
     tiny per-lane value tables — inputs ride the tunnel as u16 instead of
-    full [B, 2, N] accumulators."""
+    full [B, 2, N] accumulators. With `per_ct`, g is a [B, ctMod] table and
+    every ciphertext gathers from its own row (the multi-LUT EvalFunc
+    overload, binfhe-base-scheme.cpp:791-924)."""
     half = ct_mod >> 1
     factor = (2 * N) // ct_mod
     um = np.uint32(ct_mod)
@@ -271,7 +274,10 @@ def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int):
         temp = (b[:, None] + um - j) % um                       # [B, half]
         accs = []
         for g in (g1, g2):
-            vals = g[temp]                                      # [B, half]
+            if per_ct:
+                vals = jnp.take_along_axis(g, temp.astype(jnp.int32), axis=1)
+            else:
+                vals = g[temp]                                  # [B, half]
             if factor > 1:
                 m = jnp.concatenate(
                     [vals[..., None],
@@ -287,7 +293,8 @@ def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int):
 
 @functools.lru_cache(maxsize=None)
 def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
-                             digits_g_eff: int, throw: int, n: int):
+                             digits_g_eff: int, throw: int, n: int,
+                             tiles: tuple[int, int] | None = None):
     """Rotation stage of the RNS pipeline (the TPU-native form of the
     accelerated 54-bit sets, params.from_gpu_style): single-limb two-lane
     Pallas rotation, in-graph Garner CRT recombination, transpose/extract.
@@ -296,7 +303,10 @@ def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
     moduli, and only the (cheap) MKM switch depends on fmod; splitting means
     the expensive Mosaic kernel compiles once per shape instead of once per
     fmod. The accumulator stays on device between the two jits."""
-    blind = build_pallas_rotate_rns(N, q1, q2, base_g, digits_g_eff, throw, n)
+    from .pallas_rotate_rns import default_tiles
+    BT, bti = tiles if tiles is not None else default_tiles()
+    blind = build_pallas_rotate_rns(N, q1, q2, base_g, digits_g_eff, throw, n,
+                                    BT, bti)
     Q = q1 * q2
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -618,10 +628,12 @@ class JaxBackend:
                          self._shard_batch(a_idx), dk["bsk"], dk["bsk_sh"])
             return self._to_host(out)[:B].astype(np.uint64)
         if dk.get("bsk_rns") is not None:
+            from .pallas_rotate_rns import default_tiles
             q1, q2 = rg.rns_primes
             fn = self._shard_pallas(
                 build_pallas_rotate_rns(N, q1, q2, rg.base_g, digits_eff,
-                                        rg.num_digits_to_throw, params.lwe.n),
+                                        rg.num_digits_to_throw, params.lwe.n,
+                                        *default_tiles()),
                 n_batch_args=3, n_out=2)
             o1, o2 = fn(self._shard_batch((acc % np.uint64(q1)).astype(np.uint32)),
                         self._shard_batch((acc % np.uint64(q2)).astype(np.uint32)),
@@ -713,7 +725,10 @@ class JaxBackend:
     def func_bootstrap(self, params: BinFHEParams, key, fv: np.ndarray,
                        ct, fmod: int):
         """Functional bootstrap with the test polynomial built ON device from
-        the [ctMod] function-value table (fv = f(t) for t in [0, ctMod)).
+        the function-value table fv (= f(t) for t in [0, ctMod)) — either a
+        shared [ctMod] table or a per-ciphertext [B, ctMod] table (the
+        multi-LUT overload; values gathered in-graph per row instead of
+        uploading host-built [B, 2, N] accumulators).
         Returns None when this configuration lacks the fast path (non-RNS,
         multi-chip mesh, or oversized moduli) — the caller falls back to the
         host-built-accumulator route."""
@@ -727,11 +742,17 @@ class JaxBackend:
         q1, q2 = rg.rns_primes
         Q = rg.Q
         scale = Q // int(fmod)
-        gQ = [(scale * int(v)) % Q for v in np.asarray(fv).reshape(-1)]
-        g1 = np.array([g % q1 for g in gQ], dtype=np.uint32)
-        g2 = np.array([g % q2 for g in gQ], dtype=np.uint32)
         B = ct.a.shape[0]
         Bp = self._bucket(B)
+        fv = np.asarray(fv, dtype=np.uint64)
+        per_ct = fv.ndim == 2
+        gQ = (fv * np.uint64(scale)) % np.uint64(Q)   # exact: scale*v < 2^54
+        if per_ct:                                    # pad rows to the bucket
+            gp = np.zeros((Bp, ct_mod), dtype=np.uint64)
+            gp[:B] = gQ
+            gQ = gp
+        g1 = (gQ % np.uint64(q1)).astype(np.uint32)
+        g2 = (gQ % np.uint64(q2)).astype(np.uint32)
         # ct may be a raw retag from a larger modulus (set_modulus does not
         # re-reduce, lwe.py:37-40): reduce before the u16 cast
         um = np.uint64(ct_mod)
@@ -740,7 +761,7 @@ class JaxBackend:
         b_pad = np.zeros((Bp,), dtype=np.uint16)
         b_pad[:B] = (np.asarray(ct.b, dtype=np.uint64) % um).astype(np.uint16)
         digits_eff = rg.digits_g - rg.num_digits_to_throw
-        build = build_func_acc_rns(rg.N, q1, q2, ct_mod)
+        build = build_func_acc_rns(rg.N, q1, q2, ct_mod, per_ct)
         acc1, acc2, a_idx = build(b_pad, a_pad, jnp.asarray(g1),
                                   jnp.asarray(g2))
         rot = build_rotate_extract_rns(rg.N, q1, q2, rg.base_g, digits_eff,

@@ -13,9 +13,9 @@ matrix multiply on the MXU:
 
     out[B, :] = onehot[B, N*baseKS*dc] @ K[N*baseKS*dc, L*(n+1)]
 
-with the key split into L seven-bit limbs stored as bfloat16 (integers <= 127
-are exact in bf16; f32 accumulation of N*dc*127 <= 2^21 terms is exact), and
-the limbs recombined mod qKS with Shoup multiplications afterwards. One batch
+with the key split into L seven-bit limbs stored as int8 (s8 x s8 -> s32 is
+MXU-native; i32 accumulation of N*dc*127 <= 2^24 terms is exact), and the
+limbs recombined mod qKS with Shoup multiplications afterwards. One batch
 costs 2*B*R*L*(n+1) flops of pure matmul instead of B*N*dc row gathers.
 
 Requires Q, qKS < 2^31 (the two-limb path for qKS = 2^35 lives in
@@ -41,18 +41,17 @@ def n_limbs(q_ks: int) -> int:
 
 def pack_ksk(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
     """Flat switching key (A [R, n], B [R], uint64, row = (i*baseKS+v)*dc+j)
-    -> bfloat16 [R, L*(n+1)] of 7-bit limbs, limb-major columns."""
-    import ml_dtypes  # host-side bfloat16 (numpy has no native bf16)
-
+    -> int8 [R, L*(n+1)] of 7-bit limbs, limb-major columns (s8 x s8 -> s32
+    is MXU-native and exact; 1 byte per limb halves the resident key table
+    vs the earlier bf16 packing)."""
     A = np.asarray(ksk_a, dtype=np.uint64)
     Bv = np.asarray(ksk_b, dtype=np.uint64).reshape(-1, 1)
     K = np.concatenate([A, Bv], axis=1)                      # [R, n+1]
     L = n_limbs(q_ks)
     cols = []
     for l in range(L):
-        cols.append(((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.float32))
-    packed = np.concatenate(cols, axis=1)                    # [R, L*(n+1)]
-    return packed.astype(ml_dtypes.bfloat16)                 # <= 127: exact
+        cols.append(((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.int8))
+    return np.concatenate(cols, axis=1)                      # [R, L*(n+1)]
 
 
 def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
@@ -60,7 +59,7 @@ def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
     """The shared u32 keyswitch + final modswitch body: takes the already
     mod-switched (a1 [B,N], b1 [B]) residues mod qKS < 2^31."""
     L = n_limbs(q_ks)
-    assert N * digit_count * 127 < (1 << 24), "f32 accumulation would be inexact"
+    assert N * digit_count * 127 < (1 << 24), "i32 accumulation bound exceeded"
     # limb weights 2^(7l) mod qKS with Shoup companions
     w = np.array([pow(2, _LIMB_BITS * l, q_ks) for l in range(L)], dtype=np.uint64)
     w_sh = mm.shoup(w, q_ks)
@@ -83,16 +82,16 @@ def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
         d = jnp.stack(digs, axis=-1)                          # [B, N, dc]
 
         # one-hot over the row index (i, v, j) and one MXU matmul per batch
-        # chunk (the transient one-hot is B*N*baseKS*dc bf16 — chunking keeps
+        # chunk (the transient one-hot is B*N*baseKS*dc int8 — chunking keeps
         # the peak under ~1 GB so 8k+ batches fit in HBM)
         v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
-        row_bytes = N * base_ks * digit_count * 2
+        row_bytes = N * base_ks * digit_count
         chunk = max(256, min(B, (1 << 30) // row_bytes))
 
         def chunk_sums(d_c):
-            oh = (d_c[:, :, None, :] == v_iota).astype(jnp.bfloat16)
+            oh = (d_c[:, :, None, :] == v_iota).astype(jnp.int8)
             oh = oh.reshape(d_c.shape[0], N * base_ks * digit_count)
-            return jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+            return jnp.dot(oh, ksk_bf, preferred_element_type=jnp.int32)
 
         if B <= chunk:
             sums = chunk_sums(d)
@@ -125,7 +124,7 @@ def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
 def build_mkm_switch(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
                      n: int, fmod: int):
     """Returns a jitted (a_ext [B,N] u32, b_ext [B] u32,
-    ksk_bf [N*baseKS*dc, L*(n+1)] bf16) -> (a [B,n] u32, b [B] u32) mod fmod."""
+    ksk_bf [N*baseKS*dc, L*(n+1)] int8) -> (a [B,n] u32, b [B] u32) mod fmod."""
     core = _keyswitch_core(N, q_ks, base_ks, digit_count, n, fmod)
 
     @jax.jit

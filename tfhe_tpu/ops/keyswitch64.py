@@ -11,9 +11,10 @@ each ciphertext selects one of the baseKS rows per (i, j), so the row-sum is
 
     sums[B, :] = onehot[B, N*baseKS*dc] @ K[N*baseKS*dc, L*(n+1)]
 
-with the 35-bit key entries split into L = 5 seven-bit limbs stored as
-bfloat16 (exact) and f32 accumulation (sums <= N*dc*127 < 2^22, exact). The
-limb sums are recombined into 64-bit pairs with shifts; mod qKS is a mask.
+with the 35-bit key entries split into L = 5 seven-bit limbs stored as int8
+(s8 x s8 -> s32 MXU-native) and exact i32 accumulation (sums <= N*dc*127
+< 2^24). The limb sums are recombined into 64-bit pairs with shifts; mod qKS
+is a mask.
 """
 
 from __future__ import annotations
@@ -37,27 +38,28 @@ def n_limbs64(q_ks: int) -> int:
 
 def pack_ksk64(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
     """Flat switching key (A [R, n], B [R], uint64, row = (i*baseKS+v)*dc+j)
-    -> bfloat16 [R, L*(n+1)] of 7-bit limbs, limb-major columns."""
-    import ml_dtypes
-
+    -> int8 [R, L*(n+1)] of 7-bit limbs, limb-major columns (s8 x s8 -> s32
+    is MXU-native and exact; halves the resident table vs bf16 — the
+    accelerated-set KSK at N=2048/n=1305 drops from ~6 GB to ~3 GB, which is
+    what lets the d2=6 sign pipeline run batch 16384 in 16 GB HBM)."""
     A = np.asarray(ksk_a, dtype=np.uint64)
     Bv = np.asarray(ksk_b, dtype=np.uint64).reshape(-1, 1)
     K = np.concatenate([A, Bv], axis=1)
     L = n_limbs64(q_ks)
-    cols = [((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.float32)
+    cols = [((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.int8)
             for l in range(L)]
-    return np.concatenate(cols, axis=1).astype(ml_dtypes.bfloat16)
+    return np.concatenate(cols, axis=1)
 
 
 @functools.lru_cache(maxsize=None)
 def build_mkm_switch64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int,
                        n: int, fmod: int):
     """Jitted (a_lo, a_hi [B,N], b_lo, b_hi [B],
-    ksk_bf [N*baseKS*dc, L*(n+1)] bf16) -> (a [B,n] u32, b [B] u32) mod fmod."""
+    ksk_bf [N*baseKS*dc, L*(n+1)] int8) -> (a [B,n] u32, b [B] u32) mod fmod."""
     assert q_ks & (q_ks - 1) == 0, "64-bit key switch requires power-of-two qKS"
     assert base_ks & (base_ks - 1) == 0, "64-bit key switch requires power-of-two baseKS"
     assert fmod < (1 << 32)
-    assert N * digit_count * 127 < (1 << 24), "f32 accumulation would be inexact"
+    assert N * digit_count * 127 < (1 << 24), "i32 accumulation bound exceeded"
     ks_bits = q_ks.bit_length() - 1
     b_bits = base_ks.bit_length() - 1
     hi_bits = ks_bits - 32
@@ -90,17 +92,17 @@ def build_mkm_switch64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int
 
         # one-hot over (i, v, j) rows; layout matches flat = (i*baseKS+v)*dc+j
         # (chunked exactly like keyswitch32: the transient one-hot is
-        # B*N*baseKS*dc bf16, which at batch 4096 / STD128-accelerated params
-        # would be ~4 GB — chunking keeps the peak under ~1 GB)
+        # B*N*baseKS*dc int8, which at batch 4096 / STD128-accelerated params
+        # would be ~2 GB — chunking keeps the peak under ~1 GB)
         d = jnp.stack([digit(a1, j) for j in range(digit_count)], axis=-1)
         v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
-        row_bytes = N * base_ks * digit_count * 2
+        row_bytes = N * base_ks * digit_count
         chunk = max(8, min(B, _CHUNK_BYTES // row_bytes))
 
         def chunk_sums(d_c):
-            oh = (d_c[:, :, None, :] == v_iota).astype(jnp.bfloat16)
+            oh = (d_c[:, :, None, :] == v_iota).astype(jnp.int8)
             oh = oh.reshape(d_c.shape[0], N * base_ks * digit_count)
-            return jnp.dot(oh, ksk_bf, preferred_element_type=jnp.float32)
+            return jnp.dot(oh, ksk_bf, preferred_element_type=jnp.int32)
 
         if B <= chunk:
             sums = chunk_sums(d)

@@ -53,6 +53,15 @@ def _pack_lane_tab(tab: np.ndarray, qi: int) -> np.ndarray:
     return np.ascontiguousarray(np.stack([t.astype(np.uint32), mm.shoup(t, qi)]))
 
 
+def default_tiles() -> tuple[int, int]:
+    """Kernel tiling (batch tile BT, inner sub-tile bt), overridable via
+    TFHE_TPU_RNS_BT / TFHE_TPU_RNS_BTI for hardware retuning
+    (scripts/tune_rns.py sweeps these on the TPU)."""
+    import os
+    return (int(os.environ.get("TFHE_TPU_RNS_BT", 256)),
+            int(os.environ.get("TFHE_TPU_RNS_BTI", 32)))
+
+
 @functools.lru_cache(maxsize=None)
 def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                             digits_g_eff: int, throw: int, n: int,

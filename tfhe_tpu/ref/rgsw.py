@@ -133,14 +133,35 @@ def keygen_acc_cggi(rng: BinFHERng, params: RGSWParams, sk_n_ntt: np.ndarray,
                     lwe_sk_signed: np.ndarray) -> np.ndarray:
     """Bootstrapping key for ternary LWE secrets: [n, 2, digitsG2, 2, N].
     s=0 -> (E(0), E(0)); s=1 -> (E(1), E(0)); s=-1 -> (E(0), E(1))
-    (rgsw-acc-cggi.cpp:43-77)."""
+    (rgsw-acc-cggi.cpp:43-77).
+
+    All 2n RGSW encryptions are generated in ONE vectorized pass (single RNG
+    block draw, one batched forward/inverse NTT through the native engine)
+    instead of a 2n-iteration Python loop — same distribution, ~an order of
+    magnitude faster at production n."""
     n = len(lwe_sk_signed)
     d2 = params.digits_g2
-    bsk = np.empty((n, 2, d2, 2, params.N), dtype=np.uint64)
-    for i in range(n):
-        s = int(lwe_sk_signed[i])
-        bsk[i, 0] = keygen_cggi(rng, params, sk_n_ntt, 1 if s == 1 else 0)
-        bsk[i, 1] = keygen_cggi(rng, params, sk_n_ntt, 1 if s == -1 else 0)
+    N, Q = params.N, params.Q
+    R = n * 2 * d2
+    a = rng.discrete_uniform(R * N, Q).reshape(R, N).astype(np.uint64)
+    e = rng.discrete_gaussian(R * N, params.std, Q).reshape(R, N).astype(np.uint64)
+    a_hat = ntt.forward(a, Q)
+    b = ntt.inverse(modmath.mul(a_hat, sk_n_ntt[None, :], Q), Q)
+    b = (b + e) % np.uint64(Q)
+    bsk = np.stack([a.reshape(n, 2, d2, N), b.reshape(n, 2, d2, N)],
+                   axis=3)                                  # [n, 2, d2, 2, N]
+    # gadget powers on the diagonal rows of the encrypted-1 halves:
+    # part 0 encrypts 1 where s == +1, part 1 where s == -1
+    s = np.asarray(lwe_sk_signed, dtype=np.int64)
+    g_pow = params.g_power
+    throw = params.num_digits_to_throw
+    uq = np.uint64(Q)
+    for part, val in ((0, 1), (1, -1)):
+        idx = np.nonzero(s == val)[0]
+        for j in range(d2):
+            g = np.uint64(g_pow[(j >> 1) + throw])
+            bsk[idx, part, j, j & 1, 0] = \
+                (bsk[idx, part, j, j & 1, 0] + g) % uq
     return bsk
 
 

@@ -297,18 +297,26 @@ def bootstrap_func(backend: Backend, params: BinFHEParams, key: BTKey,
     ctb, was_scalar = _as_batch(ct)
     fb = getattr(backend, "func_bootstrap", None)
     if fb is not None and (2 * params.lwe.N) % ctb.modulus == 0:
-        # device fast path: ship the [ctMod] value table instead of host-built
-        # accumulators — valid when f is a single shared function (per-ct LUT
-        # closures return a [B, ctMod] table here and are rejected by shape)
+        # device fast path: ship the value table instead of host-built
+        # accumulators — a shared [ctMod] table, or [B, ctMod] when f is a
+        # per-ciphertext LUT closure (the multi-LUT overload,
+        # binfhe-base-scheme.cpp:791-924)
         t = np.arange(ctb.modulus, dtype=np.uint64).reshape(1, -1)
         try:
             fv = np.asarray(f(t, ctb.modulus, fmod))
         except Exception:
-            # any probe failure (per-ct closures may raise TypeError/KeyError
-            # on the [1, ctMod] shape) falls back to the host test-poly route
+            # any probe failure falls back to the host test-poly route
             fv = None
-        if fv is not None and fv.size == ctb.modulus:
-            out = fb(params, key, fv.reshape(-1), ctb, int(fmod))
+        if fv is not None:
+            B = ctb.a.shape[0]
+            if fv.size == ctb.modulus:
+                fv = fv.reshape(-1)
+            elif fv.ndim == 2 and fv.shape == (B, ctb.modulus):
+                pass                                  # per-ct table
+            else:
+                fv = None
+        if fv is not None:
+            out = fb(params, key, fv, ctb, int(fmod))
             if out is not None:
                 return _unbatch(out, was_scalar)
     m = _func_test_poly(params, ctb.b, ctb.modulus, fmod, f)
