@@ -56,6 +56,11 @@ class BinFHERng:
 
     # -- engine primitives -------------------------------------------------
 
+    def random(self, size: int) -> np.ndarray:
+        """Public uniform-[0,1) stream (the interface utils/dgg_generic.py's
+        Karney sampler consumes, so either engine can drive it)."""
+        return self._uniform01(size)
+
     def _uniform01(self, size: int) -> np.ndarray:
         """float64 uniforms in [0, 1) with 53 random bits."""
         if self._rng is not None:

@@ -76,23 +76,26 @@ def _g_sample(rng: BinFHERng, v: np.ndarray, Q: int, base: int, k: int,
     """Randomized G-lattice sampling: short z [k, N] with sum_i base^i z_i = v
     (mod Q) — the digit-randomized sampler of dgsampling.cpp, per coefficient.
 
-    Exact construction: take the plain base-`base` digits of v, then add a
-    random multiple of the G-lattice kernel by re-randomizing each digit with
-    a Gaussian shift that carries into the next digit."""
+    Each digit is drawn EXACTLY from the discrete Gaussian over its coset:
+    cand ~ D_{d + base*Z, base*sigma_g}, realized as cand = d - base*y with
+    y ~ D_{Z, sigma_g, d/base} via the arbitrary-center Karney sampler
+    (utils/dgg_generic.py; both RNG engines drive it through the shared
+    uniform stream). The subtracted multiple of base carries into the next
+    digit, so the telescoped sum stays exactly v."""
+    from .dgg_generic import karney
+
     digits = np.zeros((k, v.shape[-1]), dtype=np.int64)
     rem = np.asarray(v, dtype=object).copy()
     for i in range(k):
         digits[i] = np.array([int(x) % base for x in rem], dtype=np.int64)
         rem = np.array([int(x) // base for x in rem], dtype=object)
-    # center digits and propagate carries (balanced representation with a
-    # random rounding choice drawn from a width-sigma_g Gaussian)
     z = np.zeros_like(digits)
     carry = np.zeros(v.shape[-1], dtype=np.int64)
     for i in range(k):
         d = digits[i] + carry
-        shift = rng.discrete_gaussian_signed(v.shape[-1], sigma_g)
-        cand = d - base * np.round((d - shift) / base).astype(np.int64)
-        carry = (d - cand) // base
+        y = karney(rng, d / base, sigma_g)
+        cand = d - base * y
+        carry = y
         z[i] = cand
     # fold the final carry back so sum_i base^i z_i == v exactly as integers
     z[k - 1] += base * carry
