@@ -4,6 +4,7 @@ counterpart of trapdoor.cpp / dgsampling.cpp."""
 import numpy as np
 import pytest
 
+from tfhe_tpu.utils import dgsampling as tds
 from tfhe_tpu.utils import trapdoor as tdm
 from tfhe_tpu.utils.numtheory import ntt_prime
 from tfhe_tpu.utils.rng import BinFHERng
@@ -24,8 +25,20 @@ def test_preimage_identity_and_shortness(td):
         x = tdm.gauss_samp(rng, trap, u)
         assert np.array_equal(tdm.apply_A(trap, x),
                               np.asarray(u, dtype=np.uint64))
-        # short: far below Q (the GPV bound with the spherical perturbation)
-        assert np.abs(x).max() < Q // 64
+        # short relative to Q: the exact sampler draws at the spectral-bound
+        # width s (the GPV-correct width), so |x| ~ a few * s << Q
+        s = tds.spectral_bound(trap.N, trap.k, trap.base)
+        assert np.abs(x).max() < 8 * s
+        assert 8 * s < Q // 8
+
+
+def test_preimage_spherical_variant(td):
+    rng, trap = td
+    u = rng.discrete_uniform(trap.N, trap.Q)
+    x = tdm.gauss_samp(rng, trap, u, spherical=True)
+    assert np.array_equal(tdm.apply_A(trap, x),
+                          np.asarray(u, dtype=np.uint64))
+    assert np.abs(x).max() < trap.Q // 64
 
 
 def test_preimage_zero_centered(td):

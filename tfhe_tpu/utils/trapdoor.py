@@ -13,11 +13,12 @@ binfhe critical path, so this is a compact exact-arithmetic version:
   MP12 `x = p + [e z; r z; z]` composition the reference implements
   (trapdoor.cpp GaussSamp).
 
-Deviation (documented): the perturbation covariance uses the spherical
-approximation (independent Gaussians of width sigma_p) rather than the
-reference's exact 2x2 Schur-complement sampler (ZSampleSigma2x2); preimages
-are statistically wider by a bounded factor but satisfy the same
-<A, x> = u identity, which tests verify exactly.
+The perturbation uses the reference's exact 2x2 Schur-complement Fourier
+sampler (ZSampleSigmaP -> utils/dgsampling.sample_pz) and the G-lattice
+sampling uses the exact arbitrary-modulus sampler of eprint 2017/308
+(GaussSampGq -> utils/dgsampling.gauss_samp_gq); the <A, x> = u identity is
+verified exactly in tests. Pass ``spherical=True`` to gauss_samp for the
+cheaper spherical-perturbation variant.
 """
 
 from __future__ import annotations
@@ -103,20 +104,32 @@ def _g_sample(rng: BinFHERng, v: np.ndarray, Q: int, base: int, k: int,
 
 
 def gauss_samp(rng: BinFHERng, td: RingTrapdoor, u: np.ndarray,
-               sigma_p: float = 60.0, sigma_g: float = 3.19) -> np.ndarray:
+               sigma_p: float = 60.0, sigma_g: float = 3.19,
+               spherical: bool = False) -> np.ndarray:
     """Short preimage x [k+2, N] with <A, x> = u (mod Q) (GaussSamp,
-    trapdoor.cpp:145-198)."""
+    trapdoor.cpp:40-87): exact Schur-complement perturbation (sample_pz)
+    + exact arbitrary-modulus G-lattice sampling (gauss_samp_gq), composed
+    as x = p + [e z; r z; z]."""
+    from .dgsampling import SIGMA, gauss_samp_gq, sample_pz, spectral_bound
+
     N, Q, k, base = td.N, td.Q, td.k, td.base
-    # 1. perturbation p (spherical)
-    p = np.stack([rng.discrete_gaussian_signed(N, sigma_p)
-                  for _ in range(k + 2)])
+    # 1. perturbation p
+    if spherical:
+        p = np.stack([rng.discrete_gaussian_signed(N, sigma_p)
+                      for _ in range(k + 2)])
+    else:
+        s = spectral_bound(N, k, base)
+        p = sample_pz(N, s, (base + 1) * SIGMA, td.e, td.r, Q, rng)
     # 2. v = u - <A, p> mod Q
     ap = np.zeros(N, dtype=np.uint64)
     for i in range(k + 2):
         ap = (ap + _ring_mul(td.A[i], _to_res(p[i], Q), Q)) % np.uint64(Q)
     v = (_to_res(u, Q) + np.uint64(Q) - ap) % np.uint64(Q)
-    # 3. G-lattice sample z with G z = v
-    z = _g_sample(rng, v, Q, base, k, sigma_g)
+    # 3. G-lattice sample z with G z = v (mod Q)
+    if spherical:
+        z = _g_sample(rng, v, Q, base, k, sigma_g)
+    else:
+        z = gauss_samp_gq(v, (base + 1) * SIGMA, k, Q, base, rng)
     # 4. x = p + [<e, z>, <r, z>, z]
     half = Q // 2
 
