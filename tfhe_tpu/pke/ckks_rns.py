@@ -313,3 +313,44 @@ class CKKSRnsContext:
             new = [rescale_rns(p) for p in ct.polys]
             ct = CKKSCiphertext(new, ct.scale / lp.moduli[-1], self.params)
         return ct
+
+    def eval_mult_limb(self, a, b, rlk, mesh, rescale: bool = True):
+        """eval_mult with the RING DIMENSION sharded over a ('limb',) mesh
+        (parallel/limb_ntt.build_limb_ckks_kernels): the NTT / tensor-product
+        / rescale hot loop runs as cross-shard ppermute stages + shard-local
+        butterflies and pointwise math — the long-ring scalability path for
+        N beyond one core's VMEM. The hybrid key switch composes on the
+        gathered d2 towers (host seam). Bit-identical to eval_mult.
+
+        Requires a chain with limb moduli < 2^30 (DCRTParams.create(bits<=29))
+        and N divisible by the mesh size."""
+        import jax as _jax
+
+        from ..parallel.limb_ntt import build_limb_ckks_kernels
+        from .ckks import CKKSCiphertext
+        from .dcrt import DCRTPoly
+        assert len(a.polys) == 2 and len(b.polys) == 2
+        lp = a.polys[0].params
+        assert b.polys[0].params.moduli == lp.moduli
+        ker = build_limb_ckks_kernels(lp, mesh)
+        args = [np.asarray(p.to_coeff().rns, dtype=np.uint32)
+                for p in (a.polys[0], a.polys[1], b.polys[0], b.polys[1])]
+        d0c, d1c, d2c = [
+            np.asarray(_jax.device_get(x)).astype(np.uint64)
+            for x in ker["tensor"](*args)]
+        d0 = DCRTPoly(lp, d0c, eval_form=False).to_eval()
+        d1 = DCRTPoly(lp, d1c, eval_form=False).to_eval()
+        d2 = DCRTPoly(lp, d2c, eval_form=False).to_eval()
+        key = rlk[lp.L] if isinstance(rlk, dict) else rlk
+        s0, s1 = rns_hybrid_key_switch(key, d2, lp.moduli)
+        c0, c1 = d0 + s0, d1 + s1
+        if not rescale:
+            return CKKSCiphertext([c0, c1], a.scale * b.scale, self.params)
+        new_lp = DCRTParams(N=lp.N, moduli=lp.moduli[:-1])
+        outs = []
+        for p in (c0, c1):
+            rows = np.asarray(_jax.device_get(ker["rescale"](
+                np.asarray(p.to_coeff().rns, dtype=np.uint32)))).astype(np.uint64)
+            outs.append(DCRTPoly(new_lp, rows, eval_form=False).to_eval())
+        return CKKSCiphertext(outs, a.scale * b.scale / lp.moduli[-1],
+                              self.params)
