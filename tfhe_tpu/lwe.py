@@ -71,6 +71,12 @@ def _inner_ternary(a: np.ndarray, s_signed: np.ndarray, mod: int) -> np.ndarray:
     (n * (mod-1) < 2^53, true for all LWE-level moduli up to 2^40 at n <= 2^12)
     the inner product is an exact float64 BLAS matmul."""
     n = a.shape[-1]
+    if n * (mod - 1) < (1 << 24):
+        # partial sums fit the f32 mantissa exactly -> single-precision BLAS
+        # (half the memory traffic; dominant cost of key_switch_gen at the
+        # classic qKS = 2^14 sets)
+        acc = a.astype(np.float32) @ s_signed.astype(np.float32)
+        return np.uint64(acc.astype(np.int64) % np.int64(mod))
     if n * (mod - 1) < (1 << 53):
         acc = a.astype(np.float64) @ s_signed.astype(np.float64)
         return np.uint64(acc.astype(np.int64) % np.int64(mod))
@@ -178,7 +184,13 @@ def key_switch_gen(rng: BinFHERng, params: LWEParams, sk: LWEPrivateKey,
 
     e = rng.discrete_gaussian_signed(N * base_ks * digit_count, params.std)
     e = e.reshape(N, base_ks, digit_count).astype(np.int64)
-    A = rng.discrete_uniform(N * base_ks * digit_count * n, q_ks).reshape(N, base_ks, digit_count, n)
+    # store A at the narrowest width that holds qKS (the [N, baseKS, dc, n]
+    # block is ~10^8 entries at production sizes; u16 storage for the classic
+    # qKS = 2^14 sets cuts keygen's memory traffic 4x)
+    adt = np.uint16 if q_ks <= (1 << 16) else \
+        np.uint32 if q_ks <= (1 << 32) else np.uint64
+    A = rng.discrete_uniform(N * base_ks * digit_count * n, q_ks,
+                             dtype=adt).reshape(N, base_ks, digit_count, n)
     inner = _inner_ternary(A, sv, q_ks)
     B = (msg.astype(np.int64) + e + inner.astype(np.int64)) % np.int64(q_ks)
     return LWESwitchingKey(A=A, B=np.uint64(B))
@@ -204,8 +216,10 @@ def key_switch(params: LWEParams, K: LWESwitchingKey, ct_qn: LWECiphertext) -> L
         a0 = (atmp % bK).astype(np.int64)                 # digit values [..., N]
         rows_a = K.A[i_idx, a0, j]                        # [..., N, n]
         rows_b = K.B[i_idx, a0, j]                        # [..., N]
-        a_out = (a_out + (mQ * np.uint64(n)) - rows_a.sum(axis=-2) % mQ) % mQ
-        b_out = (b_out + (mQ * np.uint64(N)) - rows_b.sum(axis=-1) % mQ) % mQ
+        a_out = (a_out + (mQ * np.uint64(n))
+                 - rows_a.sum(axis=-2, dtype=np.uint64) % mQ) % mQ
+        b_out = (b_out + (mQ * np.uint64(N))
+                 - rows_b.sum(axis=-1, dtype=np.uint64) % mQ) % mQ
         atmp = atmp // bK
     return LWECiphertext(a_out % mQ, b_out % mQ, q_ks)
 

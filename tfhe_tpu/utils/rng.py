@@ -115,9 +115,24 @@ class BinFHERng:
         idx = np.searchsorted(cdf, u, side="right")
         return xs[np.minimum(idx, len(xs) - 1)].astype(np.int64)
 
-    def discrete_uniform(self, size: int, modulus: int) -> np.ndarray:
+    def discrete_uniform(self, size: int, modulus: int,
+                         dtype=np.uint64) -> np.ndarray:
+        """Uniform residues in [0, modulus). `dtype` narrows the OUTPUT
+        storage (the draw itself is unbiased either way) — at key-switch-key
+        scale (~10^8 entries) a u16 result avoids a transient GB of u64."""
         if modulus <= (1 << 63):
-            return self._uniform_below(size, modulus)
+            if dtype != np.uint64 and self._rng is not None \
+                    and modulus <= np.iinfo(dtype).max + 1:
+                if modulus & (modulus - 1) == 0:
+                    # power-of-two bound: mask raw bytes (no rejection loop —
+                    # ~5x faster at the 10^8-draw key-switch-key scale)
+                    raw = np.frombuffer(
+                        self._rng.bytes(size * np.dtype(dtype).itemsize),
+                        dtype=dtype)
+                    return raw & dtype(modulus - 1)
+                return self._rng.integers(0, modulus, size=size, dtype=dtype)
+            out = self._uniform_below(size, modulus)
+            return out if dtype == np.uint64 else out.astype(dtype)
         # arbitrary-width rejection-free sampling via 128-bit assembly
         if self._rng is not None:
             hi = self._rng.integers(0, 1 << 32, size=size, dtype=np.uint64)
