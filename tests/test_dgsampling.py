@@ -134,3 +134,18 @@ def test_zsample_f_diagonal_covariance():
 def test_spectral_bound_positive():
     s = spectral_bound(512, 10, 2)
     assert s > (2 + 1) * SIGMA  # wide enough for the Schur complement
+
+
+def test_gauss_samp_gq_continuous_variant():
+    """The GaussSampGqArbBase (continuous perturbation) form keeps the exact
+    G z == v identity."""
+    rng = np.random.default_rng(7)
+    q, base, n = 786433, 2, 32
+    k = int(np.ceil(np.log2(q)))
+    v = rng.integers(0, q, n)
+    z = gauss_samp_gq(v, (base + 1) * SIGMA, k, q, base, rng, continuous=True)
+    recon = np.zeros(n, dtype=object)
+    for t in range(k):
+        recon += (base ** t) * z[t].astype(object)
+    assert all((int(r) - int(x)) % q == 0 for r, x in zip(recon, v))
+    assert np.abs(z).max() < 40 * base * SIGMA

@@ -50,13 +50,19 @@ def _digits(v: int, base: int, k: int) -> np.ndarray:
 
 
 def gauss_samp_gq(v: np.ndarray, stddev: float, k: int, q: int, base: int,
-                  rng) -> np.ndarray:
+                  rng, continuous: bool = False) -> np.ndarray:
     """Sample z [k, n] with sum_t base^t z[t] == v (mod q), each entry
     Gaussian of width ~stddev (GaussSampGq, dgsampling.cpp:50-118).
 
     v: [n] nonnegative residues mod q; rng: anything with .random(m)
     (np.random.Generator or BinFHERng). Vectorized over the n coefficients;
-    the k digit levels are sequential (their centers chain)."""
+    the k digit levels are sequential (their centers chain).
+
+    ``continuous=True`` switches the perturbation stage to the continuous
+    variant (GaussSampGqArbBase / PerturbFloat, dgsampling.cpp:125-247,
+    Algorithm 3 of eprint 2017/844) — the form the reference's online
+    GaussSamp calls; the discrete default is the eprint 2017/308 Figure 2
+    sampler."""
     v = np.asarray(v, dtype=object)
     n = v.shape[0]
     sigma = stddev / (base + 1)
@@ -79,18 +85,30 @@ def gauss_samp_gq(v: np.ndarray, stddev: float, k: int, q: int, base: int,
     for i in range(1, k):
         c[i] = (c[i - 1] + m_digits[i]) / base
 
-    # Perturb (dgsampling.cpp:199-221), all coefficients at once: z_i has
-    # center d/l_i with d = -z_{i-1} h_i  -> vector-center Karney per level
-    zp = np.empty((k, n), dtype=np.int64)
-    d = np.zeros(n)
-    for i in range(k):
-        zp[i] = karney(rng, d / l[i], sigma / l[i])
-        d = -zp[i] * h[i]
-    p = np.empty((k, n), dtype=np.int64)
-    p[0] = (2 * base + 1) * zp[0] + base * zp[1]
-    for i in range(1, k - 1):
-        p[i] = base * (zp[i - 1] + 2 * zp[i] + zp[i + 1])
-    p[k - 1] = base * (zp[k - 2] + 2 * zp[k - 1])
+    if continuous:
+        # PerturbFloat (dgsampling.cpp:225-247): continuous N(0, sigma) via
+        # Box-Muller on the shared uniform stream, then the L-band transform
+        u1 = np.maximum(rng.random(k * n), np.finfo(np.float64).tiny)
+        u2 = rng.random(k * n)
+        zc = (np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+              ).reshape(k, n) * sigma
+        p = np.empty((k, n))
+        for i in range(k - 1):
+            p[i] = l[i] * zc[i] + h[i + 1] * zc[i + 1]
+        p[k - 1] = h[k - 1] * zc[k - 1]
+    else:
+        # Perturb (dgsampling.cpp:199-221), all coefficients at once: z_i has
+        # center d/l_i with d = -z_{i-1} h_i -> vector-center Karney per level
+        zp = np.empty((k, n), dtype=np.int64)
+        d = np.zeros(n)
+        for i in range(k):
+            zp[i] = karney(rng, d / l[i], sigma / l[i])
+            d = -zp[i] * h[i]
+        p = np.empty((k, n), dtype=np.int64)
+        p[0] = (2 * base + 1) * zp[0] + base * zp[1]
+        for i in range(1, k - 1):
+            p[i] = base * (zp[i - 1] + 2 * zp[i] + zp[i + 1])
+        p[k - 1] = base * (zp[k - 2] + 2 * zp[k - 1])
 
     v_digits = np.stack([_digits(int(x), base, k) for x in v], axis=1)
     # a chain (dgsampling.cpp:99-105)
