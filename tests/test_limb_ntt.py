@@ -49,11 +49,14 @@ def test_limb_intt_roundtrip(N):
         back, apply_inverse_np(fwd.astype(np.uint64), N, Q))
 
 
-def test_ckks_mult_limb_sharded_bit_exact():
+@pytest.mark.parametrize("ks_limb_bits", [28, 30])
+def test_ckks_mult_limb_sharded_bit_exact(ks_limb_bits):
     """The pke wiring: CKKSRnsContext.eval_mult_limb (ring dimension sharded
-    over the 8-device mesh; sharded NTT/tensor/rescale, host key-switch seam)
-    produces towers BIT-IDENTICAL to the host eval_mult and decrypts
-    correctly."""
+    over the 8-device mesh) produces towers BIT-IDENTICAL to the host
+    eval_mult and decrypts correctly. ks_limb_bits=28 exercises the fully
+    sharded one-jit path (tensor + hybrid key switch + rescale, no host
+    seam, build_limb_mult); ks_limb_bits=30 exercises the fallback with the
+    key switch composing on gathered towers."""
     from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
     from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
     from tfhe_tpu.pke.dcrt import DCRTParams
@@ -67,7 +70,7 @@ def test_ckks_mult_limb_sharded_bit_exact():
                    scale=float(1 << 28))
     ctx = CKKSContext(p, seed=33)
     sk, pk = ctx.key_gen()
-    rctx = CKKSRnsContext(ctx, dnum=2, ks_limb_bits=28)
+    rctx = CKKSRnsContext(ctx, dnum=2, ks_limb_bits=ks_limb_bits)
     keys = rctx.relin_key_gen(sk)
     rng = np.random.default_rng(6)
     z1 = rng.normal(size=ctx.params.slots) * 0.5

@@ -268,6 +268,153 @@ def build_limb_ckks_kernels(params, mesh: Mesh):
     return {"tensor": tensor, "rescale": jax.jit(r_fn)}
 
 
+_MULT_CACHE: dict = {}
+
+
+def _pack_key_np(key):
+    """RnsHybridKey -> numpy [G, L_pq, N] u32 towers + Shoup companions
+    (the host-side twin of ckks_device._PackedKey, left as numpy so the jit
+    shards them straight onto the mesh instead of replicating first). The
+    rows are permuted from the canonical eval order into the schedule's
+    bit-reversed evaluation order — the one-time host permutation
+    ops/ntt_sched.py calls out — so they line up with _fwd_shard outputs."""
+    pq = key.pq_params.moduli
+    assert all(m < (1 << 30) for m in pq), \
+        "limb-sharded keyswitch needs all PQ limbs < 2^30 " \
+        "(build the context with ks_limb_bits <= 29)"
+    G, L_pq, N = len(key.bs), len(pq), key.pq_params.N
+    kb = np.zeros((G, L_pq, N), dtype=np.uint32)
+    ka = np.zeros((G, L_pq, N), dtype=np.uint32)
+    kb_sh = np.zeros((G, L_pq, N), dtype=np.uint32)
+    ka_sh = np.zeros((G, L_pq, N), dtype=np.uint32)
+    for g in range(G):
+        for i, m in enumerate(pq):
+            br = _tables(N, m)[2]
+            b_row = np.empty(N, dtype=np.uint64)
+            a_row = np.empty(N, dtype=np.uint64)
+            b_row[br] = np.asarray(key.bs[g].rns[i], dtype=np.uint64)
+            a_row[br] = np.asarray(key.as_[g].rns[i], dtype=np.uint64)
+            kb[g, i] = b_row.astype(np.uint32)
+            ka[g, i] = a_row.astype(np.uint32)
+            kb_sh[g, i] = ((b_row << np.uint64(32)) // np.uint64(m)).astype(np.uint32)
+            ka_sh[g, i] = ((a_row << np.uint64(32)) // np.uint64(m)).astype(np.uint32)
+    return kb, kb_sh, ka, ka_sh
+
+
+def build_limb_mult(params, key, mesh: Mesh):
+    """Full CKKS eval_mult — tensor product, hybrid relinearization
+    (per-group HPS fast base conversion, inner product with the key towers,
+    ModDown by P) and RNS rescale — in ONE jit with the RING DIMENSION
+    sharded over the ('limb',) mesh axis. No host seam anywhere: the FBC /
+    ModDown / rescale arithmetic is per-coefficient across limbs, hence
+    shard-local under the N-sharding, and every NTT runs as cross-shard
+    ppermute stages + local butterflies (_fwd_shard/_inv_shard). Reference
+    parity: rns-leveledshe.cpp EvalMultCore + keyswitch-hybrid.cpp:1-484 +
+    ModReduce, re-laid-out for a device mesh.
+
+    params: DCRTParams of the ciphertext level chain; key: RnsHybridKey for
+    that chain (every PQ limb < 2^30 for lazy-reduction headroom).
+    Returns (mult, key_arrays): ``mult(a0, a1, b0, b1)`` maps natural-order
+    COEFFICIENT towers [L, N] u32 to rescaled output towers [L-1, N].
+    Bit-identical to the host CKKSRnsContext.eval_mult and to the
+    single-device ckks_device.build_mult_relin_rescale."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..pke.ckks_device import _make_fbc, _make_rescale, _shoup_c
+
+    N = params.N
+    lvl = tuple(params.moduli)
+    p_moduli = tuple(key.p_moduli)
+    groups = tuple(tuple(g) for g in key.groups)
+    D = mesh.shape["limb"]
+    S = N // D
+    assert S * D == N and S % 2 == 0
+    pq = lvl + p_moduli
+    assert all(m < (1 << 30) for m in pq), \
+        "limb-sharded pipeline needs moduli < 2^30 (lazy-reduction headroom)"
+    assert tuple(key.q_moduli) == lvl, \
+        "use the hybrid key generated for this level chain"
+    cache_key = (N, lvl, p_moduli, groups, D, mesh)
+    kargs = getattr(key, "_limb_packed", None)
+    if kargs is None:
+        kargs = _pack_key_np(key)
+        key._limb_packed = kargs
+    if cache_key in _MULT_CACHE:
+        return _MULT_CACHE[cache_key], kargs
+
+    n_q = len(lvl)
+    ft = np.stack([_tables(N, m)[0] for m in pq])            # [L_pq, logn+1, N]
+    ftsh = np.stack([_tables(N, m)[1] for m in pq])
+    it = np.stack([_inv_tables(N, m)[0] for m in pq])
+    itsh = np.stack([_inv_tables(N, m)[1] for m in pq])
+
+    fbcs = [_make_fbc(lvl[g0:g1], pq) for (g0, g1) in groups]
+    fbc_p = _make_fbc(p_moduli, lvl)
+    rescale = _make_rescale(lvl)
+    P_big = 1
+    for m in p_moduli:
+        P_big *= m
+    pinv_c = [(np.uint32(pow(P_big % m, -1, m)),
+               _shoup_c(pow(P_big % m, -1, m), m)) for m in lvl]
+
+    def body(a0, a1, b0, b1, kb, kb_sh, ka, ka_sh, ftl, ftshl, itl, itshl):
+        def fwd(x, i):
+            return _fwd_shard(x, ftl[i], ftshl[i], N, pq[i], D)
+
+        def inv(x, i):
+            return _inv_shard(x, itl[i], itshl[i], N, pq[i], D)
+
+        d0r, d1r, d2c = [], [], []
+        for i, m in enumerate(lvl):
+            ea0, ea1 = fwd(a0[i], i), fwd(a1[i], i)
+            eb0, eb1 = fwd(b0[i], i), fwd(b1[i], i)
+            d0r.append(mm.barrett_mulmod(ea0, eb0, m))
+            d1r.append(mm.addmod(mm.barrett_mulmod(ea0, eb1, m),
+                                 mm.barrett_mulmod(ea1, eb0, m), m))
+            d2c.append(inv(mm.barrett_mulmod(ea1, eb1, m), i))
+        # hybrid key switch of d2 (all shard-local except the NTTs)
+        acc0 = [None] * len(pq)
+        acc1 = [None] * len(pq)
+        for g, (g0, g1) in enumerate(groups):
+            ext = fbcs[g]([d2c[i] for i in range(g0, g1)])
+            for i, m in enumerate(pq):
+                dp = fwd(ext[i], i)
+                t0 = mm.mulmod_shoup(dp, kb[g, i], kb_sh[g, i], m)
+                t1 = mm.mulmod_shoup(dp, ka[g, i], ka_sh[g, i], m)
+                acc0[i] = t0 if acc0[i] is None else mm.addmod(acc0[i], t0, m)
+                acc1[i] = t1 if acc1[i] is None else mm.addmod(acc1[i], t1, m)
+
+        def moddown(rows):
+            conv = fbc_p(rows[n_q:])
+            out = []
+            for i, m in enumerate(lvl):
+                diff = mm.submod(rows[i], conv[i], m)
+                out.append(mm.mulmod_shoup(diff, pinv_c[i][0],
+                                           pinv_c[i][1], m))
+            return out
+
+        s0 = moddown([inv(acc0[i], i) for i in range(len(pq))])
+        s1 = moddown([inv(acc1[i], i) for i in range(len(pq))])
+        c0c = [mm.addmod(inv(d0r[i], i), s0[i], m) for i, m in enumerate(lvl)]
+        c1c = [mm.addmod(inv(d1r[i], i), s1[i], m) for i, m in enumerate(lvl)]
+        return jnp.stack(rescale(c0c)), jnp.stack(rescale(c1c))
+
+    row = P(None, "limb")
+    key3 = P(None, None, "limb")
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(row,) * 4 + (key3,) * 8,
+                   out_specs=(row, row))
+
+    @jax.jit
+    def mult(a0, a1, b0, b1, kb, kb_sh, ka, ka_sh):
+        return fn(a0, a1, b0, b1, kb, kb_sh, ka, ka_sh,
+                  jnp.asarray(ft), jnp.asarray(ftsh),
+                  jnp.asarray(it), jnp.asarray(itsh))
+
+    _MULT_CACHE[cache_key] = mult
+    return mult, kargs
+
+
 def _mulmod_lazy(a, b, b_sh, Q: int):
     t = mm.mulhi32(a, b_sh)
     return a * b - t * np.uint32(Q)

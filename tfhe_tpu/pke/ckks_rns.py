@@ -316,22 +316,41 @@ class CKKSRnsContext:
 
     def eval_mult_limb(self, a, b, rlk, mesh, rescale: bool = True):
         """eval_mult with the RING DIMENSION sharded over a ('limb',) mesh
-        (parallel/limb_ntt.build_limb_ckks_kernels): the NTT / tensor-product
-        / rescale hot loop runs as cross-shard ppermute stages + shard-local
+        (parallel/limb_ntt): the NTT / tensor-product / relinearization /
+        rescale hot loop runs as cross-shard ppermute stages + shard-local
         butterflies and pointwise math — the long-ring scalability path for
-        N beyond one core's VMEM. The hybrid key switch composes on the
-        gathered d2 towers (host seam). Bit-identical to eval_mult.
+        N beyond one core's VMEM. When every PQ limb of the hybrid key is
+        < 2^30 (rns_hybrid_ks_gen(limb_bits<=29)) the WHOLE op — including
+        the hybrid key switch's fast base conversions and ModDown — is one
+        sharded jit (build_limb_mult, no host seam); otherwise the tensor
+        product and rescale are sharded and the key switch composes on the
+        gathered d2 towers. Bit-identical to eval_mult either way.
 
         Requires a chain with limb moduli < 2^30 (DCRTParams.create(bits<=29))
         and N divisible by the mesh size."""
         import jax as _jax
 
-        from ..parallel.limb_ntt import build_limb_ckks_kernels
+        from ..parallel.limb_ntt import (build_limb_ckks_kernels,
+                                         build_limb_mult)
         from .ckks import CKKSCiphertext
         from .dcrt import DCRTPoly
         assert len(a.polys) == 2 and len(b.polys) == 2
         lp = a.polys[0].params
         assert b.polys[0].params.moduli == lp.moduli
+        key = rlk[lp.L] if isinstance(rlk, dict) else rlk
+        if (rescale and tuple(key.q_moduli) == tuple(lp.moduli)
+                and all(m < (1 << 30) for m in key.pq_params.moduli)):
+            mult, kargs = build_limb_mult(lp, key, mesh)
+            args = [np.asarray(p.to_coeff().rns, dtype=np.uint32)
+                    for p in (a.polys[0], a.polys[1], b.polys[0], b.polys[1])]
+            c0c, c1c = mult(*args, *kargs)
+            new_lp = DCRTParams(N=lp.N, moduli=lp.moduli[:-1])
+            outs = [DCRTPoly(new_lp,
+                             np.asarray(_jax.device_get(x)).astype(np.uint64),
+                             eval_form=False).to_eval()
+                    for x in (c0c, c1c)]
+            return CKKSCiphertext(outs, a.scale * b.scale / lp.moduli[-1],
+                                  self.params)
         ker = build_limb_ckks_kernels(lp, mesh)
         args = [np.asarray(p.to_coeff().rns, dtype=np.uint32)
                 for p in (a.polys[0], a.polys[1], b.polys[0], b.polys[1])]
@@ -341,7 +360,6 @@ class CKKSRnsContext:
         d0 = DCRTPoly(lp, d0c, eval_form=False).to_eval()
         d1 = DCRTPoly(lp, d1c, eval_form=False).to_eval()
         d2 = DCRTPoly(lp, d2c, eval_form=False).to_eval()
-        key = rlk[lp.L] if isinstance(rlk, dict) else rlk
         s0, s1 = rns_hybrid_key_switch(key, d2, lp.moduli)
         c0, c1 = d0 + s0, d1 + s1
         if not rescale:
