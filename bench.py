@@ -48,6 +48,45 @@ def _median_timed(fn, iters: int, discard: int = 1) -> tuple[float, list[float]]
     return statistics.median(kept), times
 
 
+def _wait_for_devices(max_wait_s: float = 2400.0, probe_timeout_s: float = 150.0):
+    """Probe the JAX backend in a subprocess before touching it in-process.
+
+    Over the axon tunnel a downed TPU worker makes `jax.devices()` block
+    forever at 0% CPU (no timeout in the plugin), which would hang the whole
+    bench run with no output. Probe in a killable child instead, retrying for
+    up to `max_wait_s` (the worker has historically recovered within ~1 h of
+    a crash). Returns True when a probe succeeds; False if the deadline
+    passes, in which case main() emits an explicit failure JSON line rather
+    than hanging."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print([str(d) for d in jax.devices()])"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if out.returncode == 0 and out.stdout.strip():
+                log(f"device probe ok (attempt {attempt}, "
+                    f"{time.time() - t0:.0f}s): {out.stdout.strip()}")
+                return True
+            log(f"device probe attempt {attempt} failed rc={out.returncode}: "
+                f"{out.stderr.strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe attempt {attempt} timed out "
+                f"({probe_timeout_s:.0f}s) — worker likely down")
+        if time.time() > deadline:
+            return False
+        wait = min(180.0, 30.0 * attempt)
+        log(f"retrying probe in {wait:.0f}s "
+            f"({(deadline - time.time()) / 60:.0f} min left in budget)")
+        time.sleep(wait)
+
+
 def _cache_stats(tag: str):
     cache_dir = os.path.expanduser("~/.cache/tfhe_tpu_jax")
     try:
@@ -258,6 +297,19 @@ def main():
                     help="tiny TOY gate run to validate the pipeline")
     ap.add_argument("--devices", type=int, default=0)
     args = ap.parse_args()
+
+    if not _wait_for_devices(max_wait_s=300.0 if args.smoke else 2400.0):
+        line = {
+            "metric": "gate_bootstraps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "bootstraps/s/chip (STD128 CGGI batched NAND, median)",
+            "vs_baseline": 0.0,
+            "error": ("TPU worker unreachable: jax.devices() probe timed out "
+                      "repeatedly; no measurement possible this run"),
+            "total_wall_s": round(time.time() - T_START, 1),
+        }
+        print(json.dumps(line))
+        return 1
 
     from tfhe_tpu.utils.jaxcfg import enable_compile_cache
     enable_compile_cache()
