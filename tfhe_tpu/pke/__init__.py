@@ -9,6 +9,8 @@ CKKS bootstrapping and modulus-switching-leveled APIs are later milestones.
 """
 
 from .bfv import BFVContext, BFVParams  # noqa: F401
+from .bfv_rns import BFVRnsContext  # noqa: F401
 from .bgv import BGVContext, BGVParams  # noqa: F401
+from .bgv_rns import BGVRnsContext  # noqa: F401
 from .ckks import CKKSContext, CKKSParams  # noqa: F401
 from .dcrt import DCRTPoly, DCRTParams  # noqa: F401

@@ -138,15 +138,21 @@ class RnsHybridKey:
     q_moduli: tuple
     p_moduli: tuple
     groups: list             # (start, end) limb ranges of Q
+    t: int = 1               # plaintext modulus of the t-scaled-noise (BGV)
+                             # variant; 1 = CKKS/BFV plain-noise keys
 
 
 def rns_hybrid_ks_gen(rng, q_params: DCRTParams, s_from_signed, s_to_signed,
                       dnum: int = 2, std: float = 3.19,
-                      limb_bits: int = 40) -> RnsHybridKey:
+                      limb_bits: int = 40, t: int = 1) -> RnsHybridKey:
+    """Hybrid (GHS) key-switch keys in pure RNS. With `t` > 1 the key noise
+    is t-scaled (BGV keys, bgvrns KeySwitchGen) and the special-modulus
+    primes are chosen = 1 mod t so ModDown preserves the message mod t."""
     per = (q_params.L + dnum - 1) // dnum
     groups = [(i, min(i + per, q_params.L)) for i in range(0, q_params.L, per)]
     n_p = max(e - s for s, e in groups) + 1
-    p_moduli = _moduli_chain(q_params.N, n_p, limb_bits, skip=q_params.L)
+    p_moduli = _moduli_chain(q_params.N, n_p, limb_bits, skip=q_params.L,
+                             extra_mod=t)
     pq = DCRTParams(N=q_params.N, moduli=q_params.moduli + tuple(p_moduli))
     P = 1
     for m in p_moduli:
@@ -171,16 +177,24 @@ def rns_hybrid_ks_gen(rng, q_params: DCRTParams, s_from_signed, s_to_signed,
                      eval_form=False).to_eval()
         e = DCRTPoly.from_signed(pq, rng.discrete_gaussian_signed(N, std),
                                  eval_form=True)
+        if t > 1:
+            e = e.mul_scalar(t)
         bs.append(-(a * s_to + e) + s_from.mul_scalar(factor % pq.Q))
         as_.append(a)
-    return RnsHybridKey(bs, as_, pq, q_params.moduli, tuple(p_moduli), groups)
+    return RnsHybridKey(bs, as_, pq, q_params.moduli, tuple(p_moduli),
+                        groups, t)
 
 
 def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
                           level_moduli: tuple) -> tuple[DCRTPoly, DCRTPoly]:
     """(delta0, delta1) over the working chain — digits taken per group from
     c2's own residues, FBC-extended to the full PQ basis, inner product with
-    the key towers, then ModDown by P. Everything stays in RNS."""
+    the key towers, then ModDown by P. Everything stays in RNS.
+
+    BGV keys (ksk.t > 1) use the t-exact ModDown: the subtracted correction
+    is t*FBC([x*t^-1]_P) — congruent to x mod P and to 0 mod t — so the
+    result stays = x mod t after the exact division by P (P = 1 mod t by
+    key construction; keyswitch-hybrid.cpp ModDown's BGV branch)."""
     lvl = tuple(level_moduli)
     assert ksk.q_moduli[:len(lvl)] == lvl
     pq_mods = ksk.pq_params.moduli
@@ -201,14 +215,21 @@ def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
     new_lp = DCRTParams(N=N, moduli=lvl)
     p_mods = ksk.p_moduli
     n_q = len(ksk.q_moduli)
+    t = ksk.t
     for acc in (acc0, acc1):
         ac = acc.to_coeff()
         x_p = ac.rns[n_q:]                              # residues mod P limbs
+        if t > 1:
+            x_p = np.stack([modmath.mul(x_p[j],
+                                        np.uint64(pow(t, -1, p)), p)
+                            for j, p in enumerate(p_mods)])
         conv = fast_base_convert(x_p, p_mods, lvl)
         P_inv = [pow(_prod(p_mods) % m, -1, m) for m in lvl]
         rows = []
         for i, m in enumerate(lvl):
-            diff = (ac.rns[i] + np.uint64(m) - conv[i]) % np.uint64(m)
+            corr = conv[i] if t == 1 else modmath.mul(
+                conv[i], np.uint64(t % m), m)
+            diff = (ac.rns[i] + np.uint64(m) - corr) % np.uint64(m)
             rows.append(modmath.mul(diff, np.uint64(P_inv[i]), m))
         out.append(DCRTPoly(new_lp, np.stack(rows), eval_form=False).to_eval())
     return out[0], out[1]
