@@ -97,10 +97,13 @@ def _make_fbc(src: tuple, dst: tuple):
     return fbc
 
 
-def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple):
+def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
+                    t: int = 1):
     """Hybrid key switch: coeff-form [L, N] rows of the switched poly ->
     (delta0, delta1) coeff-form rows over `lvl`. The key towers arrive as
-    traced arguments [G, L_pq, N] with Shoup companions."""
+    traced arguments [G, L_pq, N] with Shoup companions. `t` > 1 selects the
+    BGV t-exact ModDown (subtract t*FBC([x*t^-1]_P), see
+    ckks_rns.rns_hybrid_key_switch)."""
     pq = lvl + p_moduli
     n_q = len(lvl)
     ntts = [NTT32(N, m) for m in pq]
@@ -111,12 +114,24 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple):
         P *= m
     pinv_c = [(_u32(pow(P % m, -1, m)), _shoup_c(pow(P % m, -1, m), m))
               for m in lvl]
+    if t > 1:
+        tinv_c = [(_u32(pow(t % p, -1, p)), _shoup_c(pow(t % p, -1, p), p))
+                  for p in p_moduli]
+        t_c = [(_u32(t % m), _shoup_c(t % m, m)) for m in lvl]
 
     def moddown(rows):                      # coeff [L_pq] rows -> [L] rows
-        conv = fbc_p(rows[n_q:])
+        if t > 1:
+            x_p = [mm.mulmod_shoup(rows[n_q + j], tinv_c[j][0],
+                                   tinv_c[j][1], p)
+                   for j, p in enumerate(p_moduli)]
+        else:
+            x_p = rows[n_q:]
+        conv = fbc_p(x_p)
         out = []
         for i, m in enumerate(lvl):
-            diff = mm.submod(rows[i], conv[i], m)
+            corr = conv[i] if t == 1 else mm.mulmod_shoup(
+                conv[i], t_c[i][0], t_c[i][1], m)
+            diff = mm.submod(rows[i], corr, m)
             out.append(mm.mulmod_shoup(diff, pinv_c[i][0], pinv_c[i][1], m))
         return out
 
@@ -138,9 +153,12 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple):
     return ks
 
 
-def _make_rescale(lvl: tuple):
+def _make_rescale(lvl: tuple, t: int = 1):
     """Coeff-form [L] rows -> [L-1] rows, scaling by 1/q_last (RNS ModReduce
-    with the centered correction; same math as ckks_rns.rescale_rns)."""
+    with the centered correction; same math as ckks_rns.rescale_rns). With
+    `t` > 1 this is the BGV ModReduce instead: add the centered correction
+    t*[-c*t^-1]_{q_last} before the exact division so the message mod t is
+    preserved (bgv_rns.mod_reduce_rns)."""
     q_last = lvl[-1]
     keep = lvl[:-1]
     half = _u32(q_last // 2)
@@ -148,28 +166,51 @@ def _make_rescale(lvl: tuple):
              for m in keep]
     ql_mod = [_u32(q_last % m) for m in keep]
 
-    def rescale(rows):
+    if t == 1:
+        def rescale(rows):
+            c_last = rows[-1]
+            out = []
+            for i, m in enumerate(keep):
+                cl_m = mm.mod_u32(c_last, m)
+                cl = jnp.where(c_last > half,
+                               mm.submod(cl_m, ql_mod[i], m), cl_m)
+                diff = mm.submod(rows[i], cl, m)
+                out.append(mm.mulmod_shoup(diff, inv_c[i][0], inv_c[i][1], m))
+            return out
+
+        return rescale
+
+    tinv = pow(t % q_last, -1, q_last)
+    tinv_c = (_u32(tinv), _shoup_c(tinv, q_last))
+    t_c = [(_u32(t % m), _shoup_c(t % m, m)) for m in keep]
+    uql = _u32(q_last)
+
+    def modreduce(rows):
         c_last = rows[-1]
+        v = jnp.where(c_last == 0, c_last, uql - c_last)     # -c mod q_last
+        u = mm.mulmod_shoup(v, tinv_c[0], tinv_c[1], q_last)
         out = []
         for i, m in enumerate(keep):
-            cl_m = mm.mod_u32(c_last, m)
-            cl = jnp.where(c_last > half, mm.submod(cl_m, ql_mod[i], m), cl_m)
-            diff = mm.submod(rows[i], cl, m)
-            out.append(mm.mulmod_shoup(diff, inv_c[i][0], inv_c[i][1], m))
+            u_m = mm.mod_u32(u, m)
+            u_c = jnp.where(u > half, mm.submod(u_m, ql_mod[i], m), u_m)
+            w = mm.mulmod_shoup(u_c, t_c[i][0], t_c[i][1], m)
+            s = mm.addmod(rows[i], w, m)
+            out.append(mm.mulmod_shoup(s, inv_c[i][0], inv_c[i][1], m))
         return out
 
-    return rescale
+    return modreduce
 
 
 @functools.lru_cache(maxsize=None)
 def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
-                             groups: tuple):
+                             groups: tuple, t: int = 1):
     """One jit: (a0,a1,b0,b1) eval [L,N] + relin key towers -> (c0,c1) eval
     [L-1,N]. Tensor product, relinearization, rescale — no host round trip
-    (rns-leveledshe.cpp EvalMultCore + keyswitch-hybrid.cpp + ModReduce)."""
+    (rns-leveledshe.cpp EvalMultCore + keyswitch-hybrid.cpp + ModReduce).
+    `t` > 1 selects the BGV variants of the ModDown and ModReduce steps."""
     ntts = [NTT32(N, m) for m in lvl]
-    ks = _make_keyswitch(N, lvl, p_moduli, groups)
-    rescale = _make_rescale(lvl)
+    ks = _make_keyswitch(N, lvl, p_moduli, groups, t)
+    rescale = _make_rescale(lvl, t)
     out_ntts = ntts[:-1]
 
     @jax.jit
@@ -197,11 +238,12 @@ def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
 
 
 @functools.lru_cache(maxsize=None)
-def build_rotate(N: int, lvl: tuple, p_moduli: tuple, groups: tuple, k: int):
+def build_rotate(N: int, lvl: tuple, p_moduli: tuple, groups: tuple, k: int,
+                 t: int = 1):
     """One jit per (level chain, Galois element): (c0,c1) eval [L,N] + galois
     key towers -> rotated (o0,o1) eval [L,N]."""
     ntts = [NTT32(N, m) for m in lvl]
-    ks = _make_keyswitch(N, lvl, p_moduli, groups)
+    ks = _make_keyswitch(N, lvl, p_moduli, groups, t)
     # a(X) -> a(X^k): out[(i*k) mod 2N] = +-a[i]; precompute the inverse
     # gather (src index per output slot) and the sign-flip mask
     idx = (np.arange(N) * k) % (2 * N)
