@@ -8,20 +8,22 @@ reference's `bfvrns-leveledshe.cpp` HPS multiplication pipeline
 
   1. `expand_crt_basis` — EXACT extension of the centered representative
      from basis Q to the auxiliary basis R: y_i = [x*(Q/q_i)^-1]_{q_i},
-     alpha = round(sum y_i/q_i) in float64, x_r = sum y_i*(Q/q_i) - alpha*Q
-     mod r. Unlike the approximate FBC in ckks_rns.py (whose +-Q slack is
-     harmless inside key switching), BFV's tensor product would turn a +-Q
-     representative error into t*(huge) ciphertext corruption, so the alpha
-     rounding must be correct: float64 gives a ~2^-49 tie band around
-     |x| = Q/2, the same guarantee the reference gets from its double /
-     long-double `ApproxSwitchCRTBasis` path.
+     alpha = round(sum y_i/q_i) in 80-bit integer fixed point,
+     x_r = sum y_i*(Q/q_i) - alpha*Q mod r. Unlike the approximate FBC in
+     ckks_rns.py (whose +-Q slack is harmless inside key switching), BFV's
+     tensor product would turn a +-Q representative error into t*(huge)
+     ciphertext corruption, so the alpha rounding must be correct: the
+     F=80 fixed point gives a ~2^-50 tie band around |x| = Q/2 — the
+     guarantee the reference gets from its double / long-double
+     `ApproxSwitchCRTBasis` path, but integer-deterministic, so the u32
+     device kernels reproduce the host bit-for-bit.
   2. Tensor product limb-wise over the QR basis (NTT per limb); the product
      magnitude is < N*Q^2/2 < QR/2, so the QR residues carry it exactly.
   3. `scale_and_round` — round(t*x/Q) into basis R:
      t*x/Q = sum_{i in Q} y_i*(tR/q_i) + t*sum_{j in R} y_j*(R/r_j) - alpha*tR;
      integer parts are accumulated mod r, the fractional sum
-     sum y_i*frac(tR/q_i) in float64 (error O(L) ulps = O(L) extra noise
-     units, far under the Delta/2 decryption margin).
+     sum y_i*frac(tR/q_i) in 64-bit fixed point (error O(L) rounding units
+     of extra noise, far under the Delta/2 decryption margin).
   4. `expand_crt_basis` again (R -> Q) to land the rounded product back in
      the working basis — exact, since |round(t*x/Q)| <= t*N*Q/2 << R/2
      keeps the rounding far from the tie band.
@@ -47,7 +49,69 @@ from .ckks_rns import RnsHybridKey, rns_hybrid_ks_gen, rns_hybrid_key_switch
 from .dcrt import DCRTParams, DCRTPoly, _moduli_chain
 
 
+# -- shared exact fixed-point rounding ---------------------------------------
+#
+# Everything that rounds a rational sum here — the expansion alpha, the
+# scale-and-round fractional term, the decrypt scaling — is specified as
+# round(sum_i y_i * floor(2^F * n_i / d_i) / 2^F) in exact u32-WORD integer
+# arithmetic, so the host numpy path and the u32 device kernels
+# (pke/bfv_device.py) compute the IDENTICAL value on every input (the same
+# discipline as ckks_rns.alpha_fixed_tables, at higher precision). At F=80
+# with <= 30-bit limbs the per-term truncation error is < 2^-50 — the
+# guarantee the reference gets from its double/long-double arithmetic
+# (bfvrns-leveledshe.cpp), but bit-reproducible.
+
+def _fp_split(numers, denoms, F: int):
+    """floor(2^F * n_i / d_i) split into three 32-bit words (w0, w1, w2)."""
+    t = [((int(n) << F) // int(d)) for n, d in zip(numers, denoms)]
+    assert all(x < (1 << 96) for x in t)
+    mask = (1 << 32) - 1
+    w0 = np.array([x & mask for x in t], dtype=np.uint64)
+    w1 = np.array([(x >> 32) & mask for x in t], dtype=np.uint64)
+    w2 = np.array([x >> 64 for x in t], dtype=np.uint64)
+    return w0, w1, w2
+
+
+def _fp_round_dot(y: np.ndarray, words, F: int) -> np.ndarray:
+    """round(sum_i y_i * t_i / 2^F) exactly, t_i given as 32-bit words.
+    Requires y_i < 2^32 and <= ~2^26 terms (word sums stay below 2^64)."""
+    w0, w1, w2 = words
+    y64 = y.astype(np.uint64)
+    mask = np.uint64(0xffffffff)
+    p0 = y64 * w0[:, None]
+    p1 = y64 * w1[:, None]
+    p2 = y64 * w2[:, None]
+    a0 = (p0 & mask).sum(axis=0)
+    a1 = (p0 >> np.uint64(32)).sum(axis=0) + (p1 & mask).sum(axis=0)
+    a2 = (p1 >> np.uint64(32)).sum(axis=0) + (p2 & mask).sum(axis=0)
+    a3 = (p2 >> np.uint64(32)).sum(axis=0)
+    # fold carries so each word is < 2^32; S = ((a3*2^32+a2)*2^32+a1)*2^32+a0
+    a1 += a0 >> np.uint64(32)
+    a0 &= mask
+    a2 += a1 >> np.uint64(32)
+    a1 &= mask
+    a3 += a2 >> np.uint64(32)
+    a2 &= mask
+    # + 2^(F-1), then >> F: with 32 <= F < 96 only whole-word shifts + one
+    # sub-word shift of the surviving high words are needed
+    k, r = divmod(F - 1, 32)
+    add = np.uint64(1 << r)
+    ws = [a0, a1, a2, a3]
+    ws[k] += add
+    for i in range(k, 3):
+        ws[i + 1] += ws[i] >> np.uint64(32)
+        ws[i] &= mask
+    kq, rq = divmod(F, 32)
+    hi = np.zeros_like(a0)
+    for i in range(3, kq - 1, -1):
+        hi = (hi << np.uint64(32)) + ws[i]
+    return (hi >> np.uint64(rq)).astype(np.int64)
+
+
 # -- exact centered base extension -------------------------------------------
+
+_EXPAND_F = 80
+
 
 @lru_cache(maxsize=None)
 def _expand_tables(src: tuple, dst: tuple):
@@ -55,23 +119,24 @@ def _expand_tables(src: tuple, dst: tuple):
     for q in src:
         D *= q
     inv = np.array([pow((D // q) % q, -1, q) for q in src], dtype=np.uint64)
-    inv_q = np.array([1.0 / q for q in src])
+    alpha_words = _fp_split([1] * len(src), src, _EXPAND_F)
     dhat_dst = np.array([[(D // q) % m for q in src] for m in dst],
                         dtype=np.uint64)
     d_dst = np.array([D % m for m in dst], dtype=np.uint64)
-    return inv, inv_q, dhat_dst, d_dst
+    return inv, alpha_words, dhat_dst, d_dst
 
 
 def expand_crt_basis(rns_src: np.ndarray, src: tuple, dst: tuple) -> np.ndarray:
     """Residues over `dst` of the CENTERED representative of `rns_src`
-    (value in (-D/2, D/2], D = prod(src)). Exact whenever the float64
+    (value in (-D/2, D/2], D = prod(src)). Exact whenever the
     alpha = round(sum y_i/q_i) rounds on the correct side — guaranteed
-    except in a ~2^-49-wide band around |x| = D/2 (the reference's
-    double-precision guarantee, bfvrns-leveledshe.cpp ExpandCRTBasis)."""
-    inv, inv_q, dhat_dst, d_dst = _expand_tables(tuple(src), tuple(dst))
+    except in a ~2^-50-wide band around |x| = D/2 (the fixed-point
+    equivalent of the reference's double-precision guarantee,
+    bfvrns-leveledshe.cpp ExpandCRTBasis)."""
+    inv, alpha_words, dhat_dst, d_dst = _expand_tables(tuple(src), tuple(dst))
     y = np.stack([modmath.mul(rns_src[i], inv[i], src[i])
                   for i in range(len(src))])             # [s, N]
-    alpha = np.rint(y.astype(np.float64).T @ inv_q).astype(np.int64)  # [N]
+    alpha = _fp_round_dot(y, alpha_words, _EXPAND_F)     # [N]
     out = []
     for j, m in enumerate(dst):
         acc = np.zeros(rns_src.shape[-1], dtype=np.uint64)
@@ -85,6 +150,9 @@ def expand_crt_basis(rns_src: np.ndarray, src: tuple, dst: tuple) -> np.ndarray:
 
 # -- t/Q scale-and-round -----------------------------------------------------
 
+_NU_F = 64
+
+
 @lru_cache(maxsize=None)
 def _scale_round_tables(q_mods: tuple, r_mods: tuple, t: int):
     D = 1
@@ -97,29 +165,31 @@ def _scale_round_tables(q_mods: tuple, r_mods: tuple, t: int):
                    dtype=np.uint64)
     # integer/fractional split of t*R/q_i
     omega = [[(t * R // q) % r for q in q_mods] for r in r_mods]
-    theta = np.array([float(t * R % q) / q for q in q_mods])
+    theta_words = _fp_split([t * R % q for q in q_mods], q_mods, _NU_F)
     # t*(R/r_j) mod r, and t*R mod r (the -alpha*tR correction)
     t_rhat = [[(t * (R // rj)) % r for rj in r_mods] for r in r_mods]
     t_r = [(t * R) % r for r in r_mods]
-    inv_d = np.array([1.0 / d for d in q_mods + r_mods])
-    return inv, omega, theta, t_rhat, t_r, inv_d
+    alpha_words = _fp_split([1] * (len(q_mods) + len(r_mods)),
+                            q_mods + r_mods, _EXPAND_F)
+    return inv, omega, theta_words, t_rhat, t_r, alpha_words
 
 
 def scale_and_round(rns_qr: np.ndarray, q_mods: tuple, r_mods: tuple,
                     t: int) -> np.ndarray:
     """[L_q + L_r, N] residues of x over the QR basis (centered value,
     |x| < QR/2) -> [L_r, N] residues of round(t*x/Q) over R
-    (bfvrns-leveledshe.cpp ScaleAndRound). The fractional accumulation
-    error is O(L) units of extra noise, matching the reference."""
+    (bfvrns-leveledshe.cpp ScaleAndRound). The fixed-point fractional
+    accumulation error is O(L * 2^-34) extra rounding units — under the
+    reference's double-precision bound, and bit-reproducible on device."""
     q_mods, r_mods = tuple(q_mods), tuple(r_mods)
-    inv, omega, theta, t_rhat, t_r, inv_d = _scale_round_tables(
+    inv, omega, theta_words, t_rhat, t_r, alpha_words = _scale_round_tables(
         q_mods, r_mods, t)
     all_mods = q_mods + r_mods
     n_q = len(q_mods)
     y = np.stack([modmath.mul(rns_qr[k], inv[k], all_mods[k])
                   for k in range(len(all_mods))])
-    alpha = np.rint(y.astype(np.float64).T @ inv_d).astype(np.int64)   # [N]
-    nu = np.rint(y[:n_q].astype(np.float64).T @ theta).astype(np.int64)
+    alpha = _fp_round_dot(y, alpha_words, _EXPAND_F)                   # [N]
+    nu = _fp_round_dot(y[:n_q], theta_words, _NU_F)
     out = []
     for j, r in enumerate(r_mods):
         ur = np.uint64(r)
@@ -155,6 +225,10 @@ class BFVRnsContext:
         self.ks_limb_bits = ks_limb_bits
         p = self.params
         lp = p.dcrt
+        assert all(m < (1 << 31) for m in lp.moduli), \
+            "BFVRnsContext needs limb moduli < 2^31 (the u32-word fixed " \
+            "point that keeps host and device bit-identical; build the " \
+            "chain with limb_bits <= 30 and add limbs for capacity)"
         bits = max(m.bit_length() for m in lp.moduli)
         # R must hold the tensor product (R > 2NQ for alpha safety) AND the
         # scaled product (|round(t*x/Q)| <= t*N*Q/2 < R/4)
@@ -205,8 +279,8 @@ class BFVRnsContext:
         inv, _, _, _ = _expand_tables(tuple(lp.moduli), (int(p.t),))
         y = np.stack([modmath.mul(x.rns[i], inv[i], m)
                       for i, m in enumerate(lp.moduli)])
-        w = np.array([float(p.t) / m for m in lp.moduli])
-        f = np.rint(y.astype(np.float64).T @ w).astype(np.int64)
+        words = _fp_split([p.t] * lp.L, lp.moduli, _NU_F)
+        f = _fp_round_dot(y, words, _NU_F)
         return f % p.t
 
     def decrypt_packed(self, sk, ct) -> np.ndarray:
