@@ -80,6 +80,29 @@ class BGVDeviceContext:
         return BFVCiphertext([DCRTPoly(lp, c0, True), DCRTPoly(lp, c1, True)],
                              self.params)
 
+    def upload_batch(self, cts) -> DeviceBGVCiphertext:
+        """Batch-first residency: towers stacked to [L, B, N]; the same jits
+        amortize one compile across the batch (see
+        CKKSDeviceContext.upload_batch)."""
+        lp = cts[0].polys[0].params
+        assert all(c.polys[0].params.moduli == lp.moduli for c in cts)
+
+        def stack(k):
+            return jax.device_put(np.stack(
+                [np.asarray(c.polys[k].to_eval().rns,
+                            dtype=np.uint64).astype(np.uint32) for c in cts],
+                axis=1))
+
+        return DeviceBGVCiphertext(stack(0), stack(1), lp.moduli)
+
+    def download_batch(self, dct: DeviceBGVCiphertext) -> list:
+        lp = DCRTParams(N=self.params.N, moduli=dct.moduli)
+        c0 = np.asarray(jax.device_get(dct.c0)).astype(np.uint64)
+        c1 = np.asarray(jax.device_get(dct.c1)).astype(np.uint64)
+        return [BFVCiphertext([DCRTPoly(lp, c0[:, b], True),
+                               DCRTPoly(lp, c1[:, b], True)], self.params)
+                for b in range(c0.shape[1])]
+
     # -- homomorphic ops ----------------------------------------------------
 
     def eval_mult(self, a: DeviceBGVCiphertext,

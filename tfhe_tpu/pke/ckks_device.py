@@ -373,6 +373,36 @@ class CKKSDeviceContext:
         return CKKSCiphertext([DCRTPoly(lp, c0, True), DCRTPoly(lp, c1, True)],
                               dct.scale, self.params)
 
+    def upload_batch(self, cts) -> DeviceCKKSCiphertext:
+        """Batch-first residency: towers stacked to [L, B, N]. Every kernel
+        in this module is written on the last axis (NTT32 takes any leading
+        batch shape), so the same jits amortize one compile across the whole
+        batch — the binfhe backend's batching discipline applied to pke,
+        where the reference launches one CPU op per ciphertext."""
+        lp = cts[0].polys[0].params
+        assert all(c.polys[0].params.moduli == lp.moduli for c in cts)
+        assert all(abs(c.scale - cts[0].scale) < 1e-6 * cts[0].scale
+                   for c in cts)
+
+        def stack(k):
+            return jax.device_put(np.stack(
+                [np.asarray(c.polys[k].to_eval().rns,
+                            dtype=np.uint64).astype(np.uint32) for c in cts],
+                axis=1))
+
+        return DeviceCKKSCiphertext(stack(0), stack(1), cts[0].scale,
+                                    lp.moduli)
+
+    def download_batch(self, dct: DeviceCKKSCiphertext) -> list:
+        from .ckks import CKKSCiphertext
+        lp = DCRTParams(N=self.params.N, moduli=dct.moduli)
+        c0 = np.asarray(jax.device_get(dct.c0)).astype(np.uint64)
+        c1 = np.asarray(jax.device_get(dct.c1)).astype(np.uint64)
+        return [CKKSCiphertext([DCRTPoly(lp, c0[:, b], True),
+                                DCRTPoly(lp, c1[:, b], True)],
+                               dct.scale, self.params)
+                for b in range(c0.shape[1])]
+
     # -- homomorphic ops ----------------------------------------------------
 
     def eval_mult(self, a: DeviceCKKSCiphertext,
