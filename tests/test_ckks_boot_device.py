@@ -1,0 +1,77 @@
+"""CKKS bootstrapping on the device kernels (pke/ckks_boot_device.py):
+BSGS transforms + Paterson-Stockmeyer EvalMod with every homomorphic op in
+the u32 tower kernels. Beyond both the reference (CPU-only ckksrns-fhe.cpp)
+and its GPU fork (which never touched pke)."""
+
+import numpy as np
+import pytest
+
+import tfhe_tpu.pke.ckks_boot as cb
+from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+from tfhe_tpu.pke.ckks_boot_device import CKKSBootstrapDevice
+from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
+from tfhe_tpu.pke.dcrt import DCRTParams
+
+
+@pytest.fixture(scope="module")
+def boot():
+    # device chain: every limb < 2^31 (28-bit primes), scale = 2^28
+    p = CKKSParams(N=32, dcrt=DCRTParams.create(32, 30, 28),
+                   scale=float(1 << 28))
+    ctx = CKKSContext(p, seed=71)
+    sk, pk = ctx.key_gen()
+    rctx = CKKSRnsContext(ctx, dnum=3, ks_limb_bits=28)
+    pre = cb.eval_bootstrap_setup(ctx, cheb_deg=22)
+    boot = CKKSBootstrapDevice(rctx, pre)
+    boot.keygen(sk)
+    return ctx, sk, pk, boot
+
+
+def test_device_bsgs_linear_transform(boot):
+    ctx, sk, pk, bd = boot
+    s = ctx.params.slots
+    rng = np.random.default_rng(0)
+    A = (rng.normal(size=(s, s)) + 1j * rng.normal(size=(s, s))) / s
+    B = (rng.normal(size=(s, s)) + 1j * rng.normal(size=(s, s))) / s
+    z = rng.normal(size=s) * 0.5 + 1j * rng.normal(size=s) * 0.5
+    ct = ctx.encrypt(pk, z)
+    out = bd.linear_transform_bsgs(bd.dctx.upload(ct), A, B)
+    got = ctx.decrypt(sk, bd.dctx.download(out))
+    want = A @ z + B @ np.conj(z)
+    assert np.abs(got - want).max() < 1e-3
+
+
+def test_device_ps_chebyshev(boot):
+    ctx, sk, pk, bd = boot
+    rng = np.random.default_rng(1)
+    coeffs = rng.normal(size=23) * 0.3
+    z = np.linspace(-0.9, 0.9, ctx.params.slots)
+    ct = ctx.encrypt(pk, z)
+    got = ctx.decrypt(
+        sk, bd.dctx.download(bd.chebyshev_ps(bd.dctx.upload(ct),
+                                             coeffs))).real
+    want = cb._cheb_apply(coeffs, z)
+    # scale 2^28 (largest u32 limb) -> per-op rounding ~2^-28, accumulated
+    # over the PS tree depth; the host test's 1e-4 bound is for scale 2^40
+    assert np.abs(got - want).max() < 3e-3
+
+
+def test_device_bootstrap_refreshes(boot):
+    """Depth-exhausted ciphertext refreshed ON DEVICE with documented
+    precision, then keeps computing on device."""
+    ctx, sk, pk, bd = boot
+    p = ctx.params
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    assert ct.level_params.L == 1
+    fresh = bd.bootstrap(ct)
+    assert fresh.level_params.L >= 3, "bootstrap must leave usable levels"
+    err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
+    assert err < 5e-3, f"device bootstrap precision {err}"
+    # keep computing on the refreshed ciphertext, still on device
+    d = bd.dctx.upload(fresh)
+    sq = bd.dctx.download(bd.dctx.eval_mult(d, d))
+    err2 = np.abs(ctx.decrypt(sk, sq).real - z * z).max()
+    assert err2 < 1e-2

@@ -222,7 +222,8 @@ def build_bfv_mult(N: int, q_mods: tuple, r_mods: tuple, p_moduli: tuple,
         d0c = scale_back(tensor(ea0, eb0, None, None))
         d1c = scale_back(tensor(ea0, eb1, ea1, eb0))
         d2c = scale_back(tensor(ea1, eb1, None, None))
-        s0, s1 = ks(d2c, kb, kb_sh, ka, ka_sh)
+        # the shared keyswitch is limb-stacked (one op across limbs)
+        s0, s1 = ks(jnp.stack(d2c), kb, kb_sh, ka, ka_sh)
         c0 = [mm.addmod(d0c[i], s0[i], m) for i, m in enumerate(q_mods)]
         c1 = [mm.addmod(d1c[i], s1[i], m) for i, m in enumerate(q_mods)]
         return (jnp.stack([ntts_q[i].forward(c0[i]) for i in range(n_q)]),

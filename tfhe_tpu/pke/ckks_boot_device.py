@@ -1,0 +1,320 @@
+"""CKKS bootstrapping on the accelerator.
+
+The device counterpart of pke/ckks_boot.py's production-scale path: BSGS
+CoeffsToSlots / SlotsToCoeffs (O(sqrt(slots)) Galois keys and rotations)
+and Paterson-Stockmeyer EvalMod, with every homomorphic operation running
+through the device tower kernels (pke/ckks_device.py) — the ciphertext
+never visits the host between ModRaise and the final SlotsToCoeffs. The
+reference's CKKS bootstrapping (ckksrns-fhe.cpp) is CPU-only, and the
+GPU fork never touched pke at all, so this is capability beyond both.
+
+Key material is the pure-RNS hybrid family (ckks_rns.RnsHybridKey): one
+relin key and one Galois key per (element, level chain), kept
+device-resident in packed [G, L_pq, N] Shoup form. Host work per op is
+limited to plaintext encoding (the diagonal vectors of the BSGS transform
+and scalar constants); ModRaise — a per-bootstrap re-embedding of the
+exhausted ciphertext into the full chain — stays on host exactly as the
+reference does it.
+
+Precision: same construction as the host path (cosine Chebyshev +
+double-angle EvalMod), with the chain limited to sub-2^31 limbs (the u32
+device arithmetic), i.e. scale ~2^28-2^30 per level; tests pin the
+documented bound (tests/test_ckks_boot_device.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .ckks import encode
+from .ckks_boot import (BootstrapPrecom, _bsgs_split, _cheb_divmod_T,
+                        bsgs_key_indices, conj_element, galois_element)
+from .ckks_device import (CKKSDeviceContext, DeviceCKKSCiphertext,
+                          _PackedKey, build_add, build_add_scalar,
+                          build_mult_plain, build_mult_relin_rescale,
+                          build_mult_scalar, build_rescale_only, build_rotate)
+from .ckks_rns import CKKSRnsContext
+from .dcrt import DCRTParams, DCRTPoly
+
+
+class CKKSBootstrapDevice:
+    """Device bootstrap driver: holds the per-level relin + BSGS Galois key
+    set (packed, device-resident) and the transform precomputation."""
+
+    def __init__(self, rns_ctx: CKKSRnsContext, pre: BootstrapPrecom):
+        self.rns = rns_ctx
+        self.ctx = rns_ctx.ctx
+        self.params = rns_ctx.params
+        self.pre = pre
+        self.dctx = CKKSDeviceContext(rns_ctx)
+        self._gk: dict[tuple[int, int], _PackedKey] = {}
+        # FLEXIBLEAUTO-style canonical scale per level (chain length):
+        # sf[L] = Delta, sf[l-1] = sf[l]^2 / q_l. Every op below lands
+        # ciphertexts exactly on sf[level] (plaintext constants are encoded
+        # at the level's sf), so adds across differently-shaped paths see
+        # BIT-EQUAL float scales — no drift, unlike a fixed-Delta encoding
+        # where u32 chains accumulate ~1e-2 over a bootstrap's depth
+        # (the reference's FLEXIBLEAUTO rescaling technique,
+        # ckksrns-leveledshe.cpp AdjustScale).
+        mods = self.params.dcrt.moduli
+        L = len(mods)
+        sf = {L: float(self.params.scale)}
+        for lv in range(L, 1, -1):
+            sf[lv - 1] = sf[lv] * sf[lv] / mods[lv - 1]
+        self.sf = sf
+
+    def keygen(self, sk) -> None:
+        """Relin + Galois keys for the BSGS index set, per level chain
+        (EvalBootstrapKeyGen with the rotation plan, in RNS hybrid form)."""
+        from .keyswitch import automorph_signed
+        self.dctx.load_relin_keys(self.rns.relin_key_gen(sk))
+        for k in bsgs_key_indices(self.params.N, self.params.slots):
+            keys = self.rns._per_level_keys(automorph_signed(sk[1], k), sk[1])
+            for lvl_len, key in keys.items():
+                self._gk[(k, lvl_len)] = _PackedKey(key)
+
+    # -- device op helpers -------------------------------------------------
+
+    def _reduce_to(self, ct: DeviceCKKSCiphertext,
+                   n: int) -> DeviceCKKSCiphertext:
+        """Canonical level reduction: multiply by 1.0 encoded at the level's
+        sf and rescale, once per dropped limb — lands exactly on sf[n]
+        (LevelReduce with scale adjustment; a plain row slice would carry
+        the old sf down and reintroduce drift)."""
+        while len(ct.moduli) > n:
+            ct = self.mult_const(ct, 1.0, rescale=True)
+        return ct
+
+    def _align(self, a, b):
+        n = min(len(a.moduli), len(b.moduli))
+        a2, b2 = self._reduce_to(a, n), self._reduce_to(b, n)
+        rel = abs(a2.scale - b2.scale) / max(a2.scale, b2.scale)
+        # canonical sf tracking makes scales bit-equal floats on every path
+        assert rel < 1e-9, f"scale drift too large to add: {rel}"
+        return a2, b2
+
+    def add(self, a, b) -> DeviceCKKSCiphertext:
+        a2, b2 = self._align(a, b)
+        c0, c1 = build_add(a2.moduli)(a2.c0, a2.c1, b2.c0, b2.c1)
+        return DeviceCKKSCiphertext(c0, c1, max(a2.scale, b2.scale),
+                                    a2.moduli)
+
+    def sub(self, a, b) -> DeviceCKKSCiphertext:
+        a2, b2 = self._align(a, b)
+        c0, c1 = build_add(a2.moduli, sub=True)(a2.c0, a2.c1, b2.c0, b2.c1)
+        return DeviceCKKSCiphertext(c0, c1, max(a2.scale, b2.scale),
+                                    a2.moduli)
+
+    def mult(self, a, b) -> DeviceCKKSCiphertext:
+        a2, b2 = self._align(a, b)
+        return self.dctx.eval_mult(a2, b2)
+
+    def _const_rows(self, k: int, moduli: tuple) -> jnp.ndarray:
+        return jnp.asarray(np.array([k % m for m in moduli],
+                                    dtype=np.uint64).astype(np.uint32))
+
+    def mult_plain(self, ct, vec, rescale: bool = True):
+        """Slotwise multiply by a complex vector, host-encoded at the
+        LEVEL'S canonical scale sf[l] (so a subsequent rescale lands
+        exactly on sf[l-1]), NTT'd per limb, broadcast over any batch
+        axis."""
+        lp = DCRTParams(N=self.params.N, moduli=ct.moduli)
+        s_c = self.sf[len(ct.moduli)]
+        m = encode(self.params, vec, s_c)
+        pt = np.asarray(DCRTPoly.from_signed(lp, m, eval_form=True).rns,
+                        dtype=np.uint64).astype(np.uint32)
+        fn = build_mult_plain(self.params.N, ct.moduli, rescale)
+        c0, c1 = fn(ct.c0, ct.c1, jnp.asarray(pt))
+        if rescale:
+            return DeviceCKKSCiphertext(c0, c1,
+                                        ct.scale * s_c / ct.moduli[-1],
+                                        ct.moduli[:-1])
+        return DeviceCKKSCiphertext(c0, c1, ct.scale * s_c, ct.moduli)
+
+    def mult_const(self, ct, c: float, rescale: bool = True):
+        s_c = self.sf[len(ct.moduli)]
+        k = int(round(c * s_c))
+        fn = build_mult_scalar(self.params.N, ct.moduli, rescale)
+        c0, c1 = fn(ct.c0, ct.c1, self._const_rows(k, ct.moduli))
+        if rescale:
+            return DeviceCKKSCiphertext(c0, c1,
+                                        ct.scale * s_c / ct.moduli[-1],
+                                        ct.moduli[:-1])
+        return DeviceCKKSCiphertext(c0, c1, ct.scale * s_c, ct.moduli)
+
+    def scale_int(self, ct, k: int) -> DeviceCKKSCiphertext:
+        fn = build_mult_scalar(self.params.N, ct.moduli, rescale=False)
+        c0, c1 = fn(ct.c0, ct.c1, self._const_rows(k, ct.moduli))
+        return DeviceCKKSCiphertext(c0, c1, ct.scale, ct.moduli)
+
+    def add_const(self, ct, c: float) -> DeviceCKKSCiphertext:
+        k = int(round(c * ct.scale))
+        c0 = build_add_scalar(ct.moduli)(ct.c0, self._const_rows(k, ct.moduli))
+        return DeviceCKKSCiphertext(c0, ct.c1, ct.scale, ct.moduli)
+
+    def rescale(self, ct) -> DeviceCKKSCiphertext:
+        fn = build_rescale_only(self.params.N, ct.moduli)
+        c0, c1 = fn(ct.c0, ct.c1)
+        return DeviceCKKSCiphertext(c0, c1, ct.scale / ct.moduli[-1],
+                                    ct.moduli[:-1])
+
+    def auto(self, ct, k: int) -> DeviceCKKSCiphertext:
+        """X -> X^k + key switch back to s, via the per-(element, level)
+        packed Galois key."""
+        key = self._gk[(k, len(ct.moduli))]
+        fn = build_rotate(self.params.N, ct.moduli, key.p_moduli,
+                          key.groups, k)
+        c0, c1 = fn(ct.c0, ct.c1, key.kb, key.kb_sh, key.ka, key.ka_sh)
+        return DeviceCKKSCiphertext(c0, c1, ct.scale, ct.moduli)
+
+    def conjugate(self, ct) -> DeviceCKKSCiphertext:
+        return self.auto(ct, conj_element(self.params.N))
+
+    # -- BSGS linear transform --------------------------------------------
+
+    def linear_transform_bsgs(self, ct, A: np.ndarray,
+                              B: np.ndarray) -> DeviceCKKSCiphertext:
+        """w = A z + B conj(z) by baby-step/giant-step diagonals — the
+        device run of ckks_boot.eval_linear_transform_bsgs."""
+        N, s = self.params.N, self.params.slots
+        b, g = _bsgs_split(s)
+        j = np.arange(s)
+        ct_c = self.conjugate(ct)
+        bab, bab_c = [ct], [ct_c]
+        for k in range(1, b):
+            a = galois_element(k, N)
+            bab.append(self.auto(ct, a))
+            bab_c.append(self.auto(ct_c, a))
+        acc = None
+        for i in range(g):
+            inner = None
+            for k in range(b):
+                r = i * b + k
+                if r >= s:
+                    break
+                dP = A[j, (j + r) % s]
+                dC = B[j, (j + r) % s]
+                for d, src in ((dP, bab[k]), (dC, bab_c[k])):
+                    if not np.any(np.abs(d) > 1e-14):
+                        continue
+                    term = self.mult_plain(src, np.roll(d, i * b),
+                                           rescale=False)
+                    inner = term if inner is None else self.add(inner, term)
+            if inner is None:
+                continue
+            inner = self.rescale(inner)
+            if i > 0:
+                inner = self.auto(inner, galois_element(i * b, N))
+            acc = inner if acc is None else self.add(acc, inner)
+        return acc
+
+    # -- Paterson-Stockmeyer Chebyshev -------------------------------------
+
+    def chebyshev_ps(self, t, coeffs: np.ndarray,
+                     k: int | None = None) -> DeviceCKKSCiphertext:
+        deg = len(coeffs) - 1
+        if k is None:
+            k = max(2, 1 << int(np.ceil(np.log2(max(2.0,
+                                                    np.sqrt(deg / 2))))))
+        T: dict[int, DeviceCKKSCiphertext] = {1: t}
+
+        def baby(jj):
+            if jj not in T:
+                hi, lo = (jj + 1) // 2, jj // 2
+                prod2 = self.scale_int(self.mult(baby(hi), baby(lo)), 2)
+                T[jj] = (self.add_const(prod2, -1.0) if jj % 2 == 0
+                         else self.sub(prod2, baby(1)))
+            return T[jj]
+
+        def giant(e):
+            if e not in T:
+                if e <= k:
+                    return baby(e)
+                half = giant(e // 2)
+                T[e] = self.add_const(
+                    self.scale_int(self.mult(half, half), 2), -1.0)
+            return T[e]
+
+        def ev(c):
+            n = len(c) - 1
+            while n > 0 and abs(c[n]) < 1e-14:
+                n -= 1
+            c = c[:n + 1]
+            if n < k:
+                acc = None
+                for jj in range(1, n + 1):
+                    if abs(c[jj]) < 1e-14:
+                        continue
+                    term = self.mult_const(baby(jj), float(c[jj]))
+                    acc = term if acc is None else self.add(acc, term)
+                return acc, float(c[0])
+            e = k
+            while 2 * e <= n:
+                e *= 2
+            q, r = _cheb_divmod_T(c, e)
+            q_ct, q_const = ev(q)
+            r_ct, r_const = ev(r)
+            Te = giant(e)
+            parts = []
+            if q_ct is not None:
+                parts.append(self.mult(q_ct, Te))
+            if abs(q_const) > 1e-14:
+                parts.append(self.mult_const(Te, q_const))
+            if r_ct is not None:
+                parts.append(r_ct)
+            acc = parts[0]
+            for pt in parts[1:]:
+                acc = self.add(acc, pt)
+            return acc, r_const
+
+        ct_out, const = ev(np.asarray(coeffs, dtype=np.float64))
+        return self.add_const(ct_out, const) if abs(const) > 1e-14 else ct_out
+
+    def eval_mod(self, t) -> DeviceCKKSCiphertext:
+        pre = self.pre
+        w = self.chebyshev_ps(t, pre.cheb_coeffs)
+        for _ in range(pre.double_angles):
+            w = self.add_const(self.scale_int(self.mult(w, w), 2), -1.0)
+        return self.mult_const(w, pre.r / (2 * np.pi))
+
+    # -- the bootstrap ------------------------------------------------------
+
+    def bootstrap(self, ct) -> "CKKSCiphertext":
+        """Refresh a depth-exhausted host ciphertext: host ModRaise, then
+        CoeffsToSlots -> EvalMod -> SlotsToCoeffs entirely on device
+        (EvalBootstrap, ckksrns-fhe.cpp — never available off-CPU in the
+        reference)."""
+        p = self.params
+        pre = self.pre
+        assert ct.polys[0].params.L == 1 and len(ct.polys) == 2
+        full = p.dcrt
+        raised = []
+        for poly in ct.polys:
+            c = poly.to_centered_bigint()
+            raised.append(DCRTPoly.from_bigint(
+                full, [x % full.Q for x in c]).to_eval())
+        from .ckks import CKKSCiphertext
+        # Claim the canonical top scale and fold the input's true (drifted)
+        # scale into the final transform: the incoming ct carries
+        # s* = Delta*(1+eps) from its rescale history; mixing s*-typed
+        # (ct x ct squares it) and sf-typed (constants) paths would desync
+        # the canonical tracking, so the pipeline runs as if scale were
+        # sf[L] and SlotsToCoeffs divides the eps back out exactly.
+        corr = ct.scale / self.sf[full.L]
+        dct = self.dctx.upload(CKKSCiphertext(raised, self.sf[full.L], p))
+
+        norm = 1.0 / (pre.K * pre.r)
+        ct_slots = self.linear_transform_bsgs(dct, pre.cts_A * norm,
+                                              pre.cts_B * norm)
+        w_c = self.conjugate(ct_slots)
+        ct_re = self.mult_const(self.add(ct_slots, w_c), 0.5)
+        ct_im = self.mult_plain(self.sub(ct_slots, w_c),
+                                np.full(p.slots, -0.5j))
+        m_re = self.eval_mod(ct_re)
+        m_im = self.eval_mod(ct_im)
+        recomb = self.add(m_re, self.mult_plain(m_im, np.full(p.slots, 1j)))
+        out = self.linear_transform_bsgs(recomb, pre.stc_A / corr,
+                                         pre.stc_B / corr)
+        return self.dctx.download(out)

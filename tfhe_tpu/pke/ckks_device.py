@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import modmath32 as mm
-from ..ops.ntt32 import NTT32
+from ..ops import modmath32v as mv
+from ..ops.nttl import NTTL
 from .ckks_rns import (CKKSRnsContext, RnsHybridKey, _fbc_tables,
                        alpha_fixed_tables)
 from .dcrt import DCRTParams, DCRTPoly
@@ -50,27 +51,46 @@ def _shoup_c(b: int, m: int) -> np.uint32:
     return np.uint32((int(b) << 32) // m)
 
 
+def _bc_traced(x, ndim: int):
+    """Broadcast a traced per-limb [L, N] (or [L]) constant against a
+    stacked [L, ..., N] operand."""
+    if x.ndim == 1:
+        return x.reshape((x.shape[0],) + (1,) * (ndim - 1))
+    return x.reshape((x.shape[0],) + (1,) * (ndim - 2) + (x.shape[-1],))
+
+
 # -- traced building blocks --------------------------------------------------
+#
+# Every builder operates on LIMB-STACKED towers [L, ..., N] with
+# vector-modulus arithmetic (ops/modmath32v) and the limb-stacked NTT
+# (ops/nttl): the jit graph is O(log N + dnum * group) ops regardless of
+# chain length L. The original per-limb Python loops emitted O(L)-times
+# larger graphs, which put XLA compile time at minutes per level for
+# bootstrap-depth chains.
 
 def _make_fbc(src: tuple, dst: tuple):
-    """Device HPS fast base conversion: list of [N] u32 rows over `src` ->
-    list over `dst`. Bit-identical to ckks_rns.fast_base_convert (shared
-    integer fixed-point alpha)."""
+    """Device HPS fast base conversion: stacked [s, ..., N] u32 rows over
+    `src` -> [d, ..., N] over `dst`. Bit-identical to
+    ckks_rns.fast_base_convert (shared integer fixed-point alpha)."""
     assert all(q < (1 << 31) for q in src + dst)
     F, shifts, t = alpha_fixed_tables(tuple(src))
     assert all(s == 0 for s in shifts) and 33 <= F <= 63
     inv, dhat, d_dst = _fbc_tables(tuple(src), tuple(dst))
     s_len = len(src)
-    inv_c = [(_u32(inv[i]), _shoup_c(inv[i], src[i])) for i in range(s_len)]
+    lm_s = mv.LimbModuli(tuple(src))
+    lm_d = mv.LimbModuli(tuple(dst))
+    inv32 = inv.astype(np.uint32)
+    inv_sh = lm_s.shoup(inv32)
     t_c = [_u32(ti) for ti in t]
-    dhat_c = [[(_u32(dhat[j, i]), _shoup_c(dhat[j, i], m))
-               for i in range(s_len)] for j, m in enumerate(dst)]
-    d_c = [(_u32(d_dst[j]), _shoup_c(d_dst[j], m))
-           for j, m in enumerate(dst)]
+    dhat32 = dhat.astype(np.uint32)                     # [d, s]
+    dhat_sh = lm_d.shoup(dhat32)
+    d32 = d_dst.astype(np.uint32)
+    d_sh = lm_d.shoup(d32)
 
     def fbc(rows):
-        y = [mm.mulmod_shoup(rows[i], inv_c[i][0], inv_c[i][1], src[i])
-             for i in range(s_len)]
+        nd = rows.ndim
+        y = mv.mulmod_shoup_v(rows, lm_s.bc(inv32, nd),
+                              lm_s.bc(inv_sh, nd), lm_s)
         # alpha = round(sum y_i/q_i): u32-pair fixed-point accumulation,
         # identical to the host's u64 computation (ckks_rns._fbc_alpha)
         lo = jnp.zeros_like(y[0])
@@ -83,16 +103,15 @@ def _make_fbc(src: tuple, dst: tuple):
             lo = lo2
         hi = hi + _u32(1 << (F - 33))              # + 2^(F-1), zero low word
         alpha = hi >> _u32(F - 32)                 # exact floor (see notes)
-        out = []
-        for j, m in enumerate(dst):
-            acc = None
-            for i in range(s_len):
-                term = mm.mulmod_shoup(mm.mod_u32(y[i], m),
-                                       dhat_c[j][i][0], dhat_c[j][i][1], m)
-                acc = term if acc is None else mm.addmod(acc, term, m)
-            corr = mm.mulmod_shoup(alpha, d_c[j][0], d_c[j][1], m)
-            out.append(mm.submod(acc, corr, m))
-        return out
+        acc = None
+        for i in range(s_len):
+            term = mv.mulmod_shoup_v(mv.mod_u32_v(y[i][None], lm_d),
+                                     lm_d.bc(dhat32[:, i], nd),
+                                     lm_d.bc(dhat_sh[:, i], nd), lm_d)
+            acc = term if acc is None else mv.addmod_v(acc, term, lm_d)
+        corr = mv.mulmod_shoup_v(jnp.broadcast_to(alpha[None], acc.shape),
+                                 lm_d.bc(d32, nd), lm_d.bc(d_sh, nd), lm_d)
+        return mv.submod_v(acc, corr, lm_d)
 
     return fbc
 
@@ -106,48 +125,50 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
     ckks_rns.rns_hybrid_key_switch)."""
     pq = lvl + p_moduli
     n_q = len(lvl)
-    ntts = [NTT32(N, m) for m in pq]
+    lm_pq = mv.LimbModuli(tuple(pq))
+    lm_lvl = mv.LimbModuli(tuple(lvl))
+    lm_p = mv.LimbModuli(tuple(p_moduli))
+    ntt_pq = NTTL(N, tuple(pq))
     fbcs = [_make_fbc(lvl[g0:g1], pq) for (g0, g1) in groups]
     fbc_p = _make_fbc(p_moduli, lvl)
     P = 1
     for m in p_moduli:
         P *= m
-    pinv_c = [(_u32(pow(P % m, -1, m)), _shoup_c(pow(P % m, -1, m), m))
-              for m in lvl]
+    pinv = np.array([pow(P % m, -1, m) for m in lvl], dtype=np.uint32)
+    pinv_sh = lm_lvl.shoup(pinv)
     if t > 1:
-        tinv_c = [(_u32(pow(t % p, -1, p)), _shoup_c(pow(t % p, -1, p), p))
-                  for p in p_moduli]
-        t_c = [(_u32(t % m), _shoup_c(t % m, m)) for m in lvl]
+        tinv = np.array([pow(t % p, -1, p) for p in p_moduli],
+                        dtype=np.uint32)
+        tinv_sh = lm_p.shoup(tinv)
+        t_l = np.array([t % m for m in lvl], dtype=np.uint32)
+        t_l_sh = lm_lvl.shoup(t_l)
 
-    def moddown(rows):                      # coeff [L_pq] rows -> [L] rows
+    def moddown(rows):          # coeff [L_pq, ..., N] -> [L, ..., N]
+        nd = rows.ndim
+        x_p = rows[n_q:]
         if t > 1:
-            x_p = [mm.mulmod_shoup(rows[n_q + j], tinv_c[j][0],
-                                   tinv_c[j][1], p)
-                   for j, p in enumerate(p_moduli)]
-        else:
-            x_p = rows[n_q:]
+            x_p = mv.mulmod_shoup_v(x_p, lm_p.bc(tinv, nd),
+                                    lm_p.bc(tinv_sh, nd), lm_p)
         conv = fbc_p(x_p)
-        out = []
-        for i, m in enumerate(lvl):
-            corr = conv[i] if t == 1 else mm.mulmod_shoup(
-                conv[i], t_c[i][0], t_c[i][1], m)
-            diff = mm.submod(rows[i], corr, m)
-            out.append(mm.mulmod_shoup(diff, pinv_c[i][0], pinv_c[i][1], m))
-        return out
+        corr = conv if t == 1 else mv.mulmod_shoup_v(
+            conv, lm_lvl.bc(t_l, nd), lm_lvl.bc(t_l_sh, nd), lm_lvl)
+        diff = mv.submod_v(rows[:n_q], corr, lm_lvl)
+        return mv.mulmod_shoup_v(diff, lm_lvl.bc(pinv, nd),
+                                 lm_lvl.bc(pinv_sh, nd), lm_lvl)
 
     def ks(c2c, kb, kb_sh, ka, ka_sh):
-        acc0 = [None] * len(pq)
-        acc1 = [None] * len(pq)
+        acc0 = acc1 = None
         for g, (g0, g1) in enumerate(groups):
-            ext = fbcs[g]([c2c[i] for i in range(g0, g1)])
-            for i, m in enumerate(pq):
-                dp = ntts[i].forward(ext[i])
-                t0 = mm.mulmod_shoup(dp, kb[g, i], kb_sh[g, i], m)
-                t1 = mm.mulmod_shoup(dp, ka[g, i], ka_sh[g, i], m)
-                acc0[i] = t0 if acc0[i] is None else mm.addmod(acc0[i], t0, m)
-                acc1[i] = t1 if acc1[i] is None else mm.addmod(acc1[i], t1, m)
-        d0 = moddown([ntts[i].inverse(acc0[i]) for i in range(len(pq))])
-        d1 = moddown([ntts[i].inverse(acc1[i]) for i in range(len(pq))])
+            ext = fbcs[g](c2c[g0:g1])
+            dp = ntt_pq.forward(ext)
+            t0 = mv.mulmod_shoup_v(dp, _bc_traced(kb[g], dp.ndim),
+                                   _bc_traced(kb_sh[g], dp.ndim), lm_pq)
+            t1 = mv.mulmod_shoup_v(dp, _bc_traced(ka[g], dp.ndim),
+                                   _bc_traced(ka_sh[g], dp.ndim), lm_pq)
+            acc0 = t0 if acc0 is None else mv.addmod_v(acc0, t0, lm_pq)
+            acc1 = t1 if acc1 is None else mv.addmod_v(acc1, t1, lm_pq)
+        d0 = moddown(ntt_pq.inverse(acc0))
+        d1 = moddown(ntt_pq.inverse(acc1))
         return d0, d1
 
     return ks
@@ -161,42 +182,44 @@ def _make_rescale(lvl: tuple, t: int = 1):
     preserved (bgv_rns.mod_reduce_rns)."""
     q_last = lvl[-1]
     keep = lvl[:-1]
+    lm_k = mv.LimbModuli(tuple(keep))
     half = _u32(q_last // 2)
-    inv_c = [(_u32(pow(q_last, -1, m)), _shoup_c(pow(q_last, -1, m), m))
-             for m in keep]
-    ql_mod = [_u32(q_last % m) for m in keep]
+    inv = np.array([pow(q_last, -1, m) for m in keep], dtype=np.uint32)
+    inv_sh = lm_k.shoup(inv)
+    ql_mod = np.array([q_last % m for m in keep], dtype=np.uint32)
 
     if t == 1:
         def rescale(rows):
-            c_last = rows[-1]
-            out = []
-            for i, m in enumerate(keep):
-                cl_m = mm.mod_u32(c_last, m)
-                cl = jnp.where(c_last > half,
-                               mm.submod(cl_m, ql_mod[i], m), cl_m)
-                diff = mm.submod(rows[i], cl, m)
-                out.append(mm.mulmod_shoup(diff, inv_c[i][0], inv_c[i][1], m))
-            return out
+            nd = rows.ndim
+            c_last = rows[-1][None]
+            cl_m = mv.mod_u32_v(c_last, lm_k)
+            cl = jnp.where(c_last > half,
+                           mv.submod_v(cl_m, lm_k.bc(ql_mod, nd), lm_k), cl_m)
+            diff = mv.submod_v(rows[:-1], cl, lm_k)
+            return mv.mulmod_shoup_v(diff, lm_k.bc(inv, nd),
+                                     lm_k.bc(inv_sh, nd), lm_k)
 
         return rescale
 
     tinv = pow(t % q_last, -1, q_last)
     tinv_c = (_u32(tinv), _shoup_c(tinv, q_last))
-    t_c = [(_u32(t % m), _shoup_c(t % m, m)) for m in keep]
+    t_k = np.array([t % m for m in keep], dtype=np.uint32)
+    t_k_sh = lm_k.shoup(t_k)
     uql = _u32(q_last)
 
     def modreduce(rows):
+        nd = rows.ndim
         c_last = rows[-1]
         v = jnp.where(c_last == 0, c_last, uql - c_last)     # -c mod q_last
-        u = mm.mulmod_shoup(v, tinv_c[0], tinv_c[1], q_last)
-        out = []
-        for i, m in enumerate(keep):
-            u_m = mm.mod_u32(u, m)
-            u_c = jnp.where(u > half, mm.submod(u_m, ql_mod[i], m), u_m)
-            w = mm.mulmod_shoup(u_c, t_c[i][0], t_c[i][1], m)
-            s = mm.addmod(rows[i], w, m)
-            out.append(mm.mulmod_shoup(s, inv_c[i][0], inv_c[i][1], m))
-        return out
+        u = mm.mulmod_shoup(v, tinv_c[0], tinv_c[1], q_last)[None]
+        u_m = mv.mod_u32_v(u, lm_k)
+        u_c = jnp.where(u > half,
+                        mv.submod_v(u_m, lm_k.bc(ql_mod, nd), lm_k), u_m)
+        w = mv.mulmod_shoup_v(u_c, lm_k.bc(t_k, nd), lm_k.bc(t_k_sh, nd),
+                              lm_k)
+        s = mv.addmod_v(rows[:-1], w, lm_k)
+        return mv.mulmod_shoup_v(s, lm_k.bc(inv, nd), lm_k.bc(inv_sh, nd),
+                                 lm_k)
 
     return modreduce
 
@@ -208,31 +231,22 @@ def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
     [L-1,N]. Tensor product, relinearization, rescale — no host round trip
     (rns-leveledshe.cpp EvalMultCore + keyswitch-hybrid.cpp + ModReduce).
     `t` > 1 selects the BGV variants of the ModDown and ModReduce steps."""
-    ntts = [NTT32(N, m) for m in lvl]
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
+    ntt_out = NTTL(N, tuple(lvl[:-1]))
     ks = _make_keyswitch(N, lvl, p_moduli, groups, t)
     rescale = _make_rescale(lvl, t)
-    out_ntts = ntts[:-1]
 
     @jax.jit
     def mult(a0, a1, b0, b1, kb, kb_sh, ka, ka_sh):
-        d0r, d1r, d2r = [], [], []
-        for i, m in enumerate(lvl):
-            d0r.append(mm.barrett_mulmod(a0[i], b0[i], m))
-            d1r.append(mm.addmod(mm.barrett_mulmod(a0[i], b1[i], m),
-                                 mm.barrett_mulmod(a1[i], b0[i], m), m))
-            d2r.append(mm.barrett_mulmod(a1[i], b1[i], m))
-        d2c = [ntts[i].inverse(d2r[i]) for i in range(len(lvl))]
-        s0, s1 = ks(d2c, kb, kb_sh, ka, ka_sh)
-        c0c = [mm.addmod(ntts[i].inverse(d0r[i]), s0[i], lvl[i])
-               for i in range(len(lvl))]
-        c1c = [mm.addmod(ntts[i].inverse(d1r[i]), s1[i], lvl[i])
-               for i in range(len(lvl))]
-        c0 = rescale(c0c)
-        c1 = rescale(c1c)
-        return (jnp.stack([out_ntts[i].forward(c0[i])
-                           for i in range(len(lvl) - 1)]),
-                jnp.stack([out_ntts[i].forward(c1[i])
-                           for i in range(len(lvl) - 1)]))
+        d0 = mv.barrett_mulmod_v(a0, b0, lm)
+        d1 = mv.addmod_v(mv.barrett_mulmod_v(a0, b1, lm),
+                         mv.barrett_mulmod_v(a1, b0, lm), lm)
+        d2 = mv.barrett_mulmod_v(a1, b1, lm)
+        s0, s1 = ks(ntt.inverse(d2), kb, kb_sh, ka, ka_sh)
+        c0 = rescale(mv.addmod_v(ntt.inverse(d0), s0, lm))
+        c1 = rescale(mv.addmod_v(ntt.inverse(d1), s1, lm))
+        return ntt_out.forward(c0), ntt_out.forward(c1)
 
     return mult
 
@@ -242,7 +256,8 @@ def build_rotate(N: int, lvl: tuple, p_moduli: tuple, groups: tuple, k: int,
                  t: int = 1):
     """One jit per (level chain, Galois element): (c0,c1) eval [L,N] + galois
     key towers -> rotated (o0,o1) eval [L,N]."""
-    ntts = [NTT32(N, m) for m in lvl]
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
     ks = _make_keyswitch(N, lvl, p_moduli, groups, t)
     # a(X) -> a(X^k): out[(i*k) mod 2N] = +-a[i]; precompute the inverse
     # gather (src index per output slot) and the sign-flip mask
@@ -255,30 +270,105 @@ def build_rotate(N: int, lvl: tuple, p_moduli: tuple, groups: tuple, k: int,
     flip = jnp.asarray(flip_at_tgt)
     srcj = jnp.asarray(src)
 
-    def auto(row, m):
-        taken = jnp.take(row, srcj, axis=-1)
-        return jnp.where(flip & (taken != 0), _u32(m) - taken, taken)
+    def auto(rows):
+        taken = jnp.take(rows, srcj, axis=-1)
+        q = lm.bc(lm.q, rows.ndim)
+        return jnp.where(flip & (taken != 0), q - taken, taken)
 
     @jax.jit
     def rot(c0, c1, kb, kb_sh, ka, ka_sh):
-        c0a = [auto(ntts[i].inverse(c0[i]), m) for i, m in enumerate(lvl)]
-        c1a = [auto(ntts[i].inverse(c1[i]), m) for i, m in enumerate(lvl)]
+        c0a = auto(ntt.inverse(c0))
+        c1a = auto(ntt.inverse(c1))
         d0, d1 = ks(c1a, kb, kb_sh, ka, ka_sh)
-        o0 = [mm.addmod(c0a[i], d0[i], m) for i, m in enumerate(lvl)]
-        return (jnp.stack([ntts[i].forward(o0[i]) for i in range(len(lvl))]),
-                jnp.stack([ntts[i].forward(d1[i]) for i in range(len(lvl))]))
+        o0 = mv.addmod_v(c0a, d0, lm)
+        return ntt.forward(o0), ntt.forward(d1)
 
     return rot
 
 
 @functools.lru_cache(maxsize=None)
+def build_mult_plain(N: int, lvl: tuple, rescale: bool = True):
+    """One jit: (c0, c1) eval towers x plaintext eval rows [L, N] ->
+    plaintext-multiplied towers, optionally rescaled to [L-1]
+    (EvalMultPlain + ModReduce). Towers may carry a batch axis [L, B, N];
+    the plaintext broadcasts."""
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
+    resc = _make_rescale(lvl) if rescale else None
+    ntt_out = NTTL(N, tuple(lvl[:-1])) if rescale else None
+
+    @jax.jit
+    def f(c0, c1, pt):
+        out = []
+        for c in (c0, c1):
+            r = mv.barrett_mulmod_v(c, _bc_traced(pt, c.ndim), lm)
+            if rescale:
+                r = ntt_out.forward(resc(ntt.inverse(r)))
+            out.append(r)
+        return out[0], out[1]
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def build_mult_scalar(N: int, lvl: tuple, rescale: bool = True):
+    """One jit: towers x a per-limb scalar [L] (a big-integer constant's
+    residues) -> scaled towers, optionally rescaled (EvalMultConst)."""
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
+    resc = _make_rescale(lvl) if rescale else None
+    ntt_out = NTTL(N, tuple(lvl[:-1])) if rescale else None
+
+    @jax.jit
+    def f(c0, c1, ks):
+        out = []
+        for c in (c0, c1):
+            r = mv.barrett_mulmod_v(c, _bc_traced(ks, c.ndim), lm)
+            if rescale:
+                r = ntt_out.forward(resc(ntt.inverse(r)))
+            out.append(r)
+        return out[0], out[1]
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def build_rescale_only(N: int, lvl: tuple):
+    """One jit: towers [L, ..., N] -> [L-1, ..., N], RNS rescale by 1/q_last
+    (standalone ModReduce)."""
+    ntt = NTTL(N, tuple(lvl))
+    ntt_out = NTTL(N, tuple(lvl[:-1]))
+    resc = _make_rescale(lvl)
+
+    @jax.jit
+    def f(c0, c1):
+        return (ntt_out.forward(resc(ntt.inverse(c0))),
+                ntt_out.forward(resc(ntt.inverse(c1))))
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def build_add_scalar(lvl: tuple):
+    """One jit: c0 + per-limb scalar [L] (constant polynomial is constant in
+    the evaluation domain) — EvalAddConst; c1 unchanged by the caller."""
+    lm = mv.LimbModuli(tuple(lvl))
+
+    @jax.jit
+    def f(c0, ks):
+        return mv.addmod_v(c0, _bc_traced(ks, c0.ndim), lm)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def build_add(lvl: tuple, sub: bool = False):
-    op = mm.submod if sub else mm.addmod
+    op = mv.submod_v if sub else mv.addmod_v
+    lm = mv.LimbModuli(tuple(lvl))
 
     @jax.jit
     def add(a0, a1, b0, b1):
-        return (jnp.stack([op(a0[i], b0[i], m) for i, m in enumerate(lvl)]),
-                jnp.stack([op(a1[i], b1[i], m) for i, m in enumerate(lvl)]))
+        return op(a0, b0, lm), op(a1, b1, lm)
 
     return add
 
