@@ -279,6 +279,66 @@ def run_decomp(args) -> dict:
                            args.sign_iters, make)
 
 
+def run_ckks(args) -> dict:
+    """Batched device RNS-CKKS mult+relin+rescale (ms/ctx) — the device pke
+    capability the reference never had off-CPU (rns-leveledshe.cpp /
+    keyswitch-hybrid.cpp are CPU-only there)."""
+    import time as _t
+
+    import numpy as _np
+
+    from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+    from tfhe_tpu.pke.ckks_device import CKKSDeviceContext
+    from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
+    from tfhe_tpu.pke.dcrt import DCRTParams
+
+    N, L, B = (256, 4, 4) if args.smoke else (4096, 8, args.ckks_batch)
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, L, 28),
+                   scale=float(1 << 28))
+    ctx = CKKSContext(p, seed=20260817)
+    t0 = _t.time()
+    sk, pk = ctx.key_gen()
+    rctx = CKKSRnsContext(ctx, dnum=3, ks_limb_bits=28)
+    keys = rctx.relin_key_gen(sk)
+    dctx = CKKSDeviceContext(rctx)
+    dctx.load_relin_keys(keys)
+    t_keygen = _t.time() - t0
+    log(f"[ckks] N={N} L={L} batch={B}; keygen {t_keygen:.1f}s")
+
+    rng = _np.random.default_rng(7)
+    zs = [rng.uniform(0.1, 0.9, p.slots) for _ in range(B)]
+    d = dctx.upload_batch([ctx.encrypt(pk, z) for z in zs])
+
+    t0 = _t.time()
+    out = dctx.eval_mult(d, d)
+    outs = dctx.download_batch(out)
+    t_compile = _t.time() - t0
+    for z, o in zip(zs, outs):
+        err = _np.abs(ctx.decrypt(sk, o).real - z * z).max()
+        if err > 1e-3:
+            raise RuntimeError(f"ckks device mult wrong: err={err}")
+    log(f"[ckks] first batch (compile + run + verify): {t_compile:.1f}s")
+
+    def step():
+        r = dctx.eval_mult(d, d)
+        _ = _np.asarray(r.c0[0])        # force D2H of a slice (tunnel sync)
+
+    med, times = _median_timed(step, args.func_iters,
+                               discard=1 if args.func_iters > 1 else 0)
+    ms_ctx = med / B * 1e3
+    log(f"[ckks] {ms_ctx:.2f} ms/ctx (mult+relin+rescale, batch {B}); "
+        f"times {[f'{t:.3f}' for t in times]}")
+    return {
+        "value": round(ms_ctx, 3),
+        "unit": "ms/ctx (device CKKS mult+relin+rescale)",
+        "N": N, "L": L, "batch": B,
+        "iter_times_s": [round(t, 3) for t in times],
+        "keygen_s": round(t_keygen, 1),
+        "first_run_s": round(t_compile, 1),
+        "verified": True,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384,
@@ -290,7 +350,8 @@ def main():
     ap.add_argument("--func-iters", type=int, default=3)
     ap.add_argument("--sign-iters", type=int, default=2,
                     help="iterations for the multi-round sign/decomp ops")
-    ap.add_argument("--ops", default="gate,func,floor,sign,decomp")
+    ap.add_argument("--ops", default="gate,func,floor,sign,decomp,ckks")
+    ap.add_argument("--ckks-batch", type=int, default=8)
     ap.add_argument("--budget", type=float, default=5400.0,
                     help="wall-clock budget (s); remaining ops are skipped")
     ap.add_argument("--smoke", action="store_true",
@@ -319,7 +380,7 @@ def main():
 
     ops = ["gate"] if args.smoke else [o for o in args.ops.split(",") if o]
     runners = {"gate": run_gate, "func": run_func, "floor": run_floor,
-               "sign": run_sign, "decomp": run_decomp}
+               "sign": run_sign, "decomp": run_decomp, "ckks": run_ckks}
     results: dict[str, dict] = {}
     for op in ops:
         elapsed = time.time() - T_START
