@@ -26,12 +26,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import modmath32 as mm
-from ..ops.ntt32 import NTT32
+from ..ops import modmath32v as mv
+from ..ops.nttl import NTTL
 from .bfv import BFVCiphertext
 from .bfv_rns import (BFVRnsContext, _EXPAND_F, _NU_F, _expand_tables,
                       _fp_split, _scale_round_tables)
-from .ckks_device import (_PackedKey, _make_keyswitch, _shoup_c, _u32,
-                          build_add, build_rotate)
+from .ckks_device import (_PackedKey, _make_keyswitch, _u32, build_add,
+                          build_rotate)
 from .dcrt import DCRTParams, DCRTPoly
 from .encoding import rotation_automorphism_index
 
@@ -93,42 +94,51 @@ def _fp_round_shift(ws, F: int):
     return lo, hi
 
 
-def _pair_mod(lo, hi, m: int):
-    """(hi*2^32 + lo) mod m for a u32 pair."""
-    two32 = (1 << 32) % m
-    c = (_u32(two32), _shoup_c(two32, m))
-    return mm.addmod(mm.mulmod_shoup(mm.mod_u32(hi, m), c[0], c[1], m),
-                     mm.mod_u32(lo, m), m)
+def _make_pair_mod(lm: mv.LimbModuli):
+    """(hi*2^32 + lo) mod q per limb: a limb-axis-free u32 pair broadcast
+    into the stacked dst basis."""
+    two32 = np.array([(1 << 32) % m for m in lm.moduli], dtype=np.uint32)
+    two32_sh = lm.shoup(two32)
+
+    def pair_mod(lo, hi, nd):
+        h = mv.mulmod_shoup_v(mv.mod_u32_v(hi[None], lm),
+                              lm.bc(two32, nd), lm.bc(two32_sh, nd), lm)
+        return mv.addmod_v(h, mv.mod_u32_v(lo[None], lm), lm)
+
+    return pair_mod
 
 
 def _make_expand(src: tuple, dst: tuple):
-    """Device exact-centered basis extension: coeff [len(src)] u32 rows ->
-    [len(dst)] rows (bfv_rns.expand_crt_basis, bit-identical)."""
+    """Device exact-centered basis extension: stacked coeff [s, ..., N] u32
+    rows -> [d, ..., N] (bfv_rns.expand_crt_basis, bit-identical;
+    limb-stacked like the ckks_device builders)."""
     inv, alpha_words, dhat, d_dst = _expand_tables(tuple(src), tuple(dst))
     s_len = len(src)
-    inv_c = [(_u32(inv[i]), _shoup_c(int(inv[i]), src[i]))
-             for i in range(s_len)]
-    dhat_c = [[(_u32(dhat[j, i]), _shoup_c(int(dhat[j, i]), m))
-               for i in range(s_len)] for j, m in enumerate(dst)]
-    d_c = [(_u32(d_dst[j]), _shoup_c(int(d_dst[j]), m))
-           for j, m in enumerate(dst)]
+    lm_s = mv.LimbModuli(tuple(src))
+    lm_d = mv.LimbModuli(tuple(dst))
+    inv32 = inv.astype(np.uint32)
+    inv_sh = lm_s.shoup(inv32)
+    dhat32 = dhat.astype(np.uint32)                     # [d, s]
+    dhat_sh = lm_d.shoup(dhat32)
+    d32 = d_dst.astype(np.uint32)
+    d_sh = lm_d.shoup(d32)
+    pair_mod = _make_pair_mod(lm_d)
 
     def expand(rows):
-        y = [mm.mulmod_shoup(rows[i], inv_c[i][0], inv_c[i][1], src[i])
-             for i in range(s_len)]
-        ws = _fp_dot_words(y, alpha_words)
+        nd = rows.ndim
+        y = mv.mulmod_shoup_v(rows, lm_s.bc(inv32, nd),
+                              lm_s.bc(inv_sh, nd), lm_s)
+        ws = _fp_dot_words([y[i] for i in range(s_len)], alpha_words)
         a_lo, a_hi = _fp_round_shift(ws, _EXPAND_F)
-        out = []
-        for j, m in enumerate(dst):
-            acc = None
-            for i in range(s_len):
-                term = mm.mulmod_shoup(mm.mod_u32(y[i], m),
-                                       dhat_c[j][i][0], dhat_c[j][i][1], m)
-                acc = term if acc is None else mm.addmod(acc, term, m)
-            alpha_m = _pair_mod(a_lo, a_hi, m)
-            corr = mm.mulmod_shoup(alpha_m, d_c[j][0], d_c[j][1], m)
-            out.append(mm.submod(acc, corr, m))
-        return out
+        acc = None
+        for i in range(s_len):
+            term = mv.mulmod_shoup_v(mv.mod_u32_v(y[i][None], lm_d),
+                                     lm_d.bc(dhat32[:, i], nd),
+                                     lm_d.bc(dhat_sh[:, i], nd), lm_d)
+            acc = term if acc is None else mv.addmod_v(acc, term, lm_d)
+        corr = mv.mulmod_shoup_v(pair_mod(a_lo, a_hi, nd),
+                                 lm_d.bc(d32, nd), lm_d.bc(d_sh, nd), lm_d)
+        return mv.submod_v(acc, corr, lm_d)
 
     return expand
 
@@ -139,38 +149,43 @@ def _make_scale_round(q_mods: tuple, r_mods: tuple, t: int):
     inv, omega, theta_words, t_rhat, t_r, alpha_words = _scale_round_tables(
         tuple(q_mods), tuple(r_mods), t)
     all_mods = tuple(q_mods) + tuple(r_mods)
-    n_q = len(q_mods)
-    inv_c = [(_u32(inv[k]), _shoup_c(int(inv[k]), all_mods[k]))
-             for k in range(len(all_mods))]
-    omega_c = [[(_u32(omega[j][i]), _shoup_c(int(omega[j][i]), r))
-                for i in range(n_q)] for j, r in enumerate(r_mods)]
-    rhat_c = [[(_u32(t_rhat[j][jj]), _shoup_c(int(t_rhat[j][jj]), r))
-               for jj in range(len(r_mods))] for j, r in enumerate(r_mods)]
-    tr_c = [(_u32(t_r[j]), _shoup_c(int(t_r[j]), r))
-            for j, r in enumerate(r_mods)]
+    n_q, n_r = len(q_mods), len(r_mods)
+    lm_all = mv.LimbModuli(all_mods)
+    lm_r = mv.LimbModuli(tuple(r_mods))
+    inv32 = inv.astype(np.uint32)
+    inv_sh = lm_all.shoup(inv32)
+    omega32 = np.array(omega, dtype=np.uint32)          # [r, q]
+    omega_sh = lm_r.shoup(omega32)
+    rhat32 = np.array(t_rhat, dtype=np.uint32)          # [r, r]
+    rhat_sh = lm_r.shoup(rhat32)
+    tr32 = np.array(t_r, dtype=np.uint32)
+    tr_sh = lm_r.shoup(tr32)
+    pair_mod = _make_pair_mod(lm_r)
 
     def scale_round(rows):
-        y = [mm.mulmod_shoup(rows[k], inv_c[k][0], inv_c[k][1], all_mods[k])
-             for k in range(len(all_mods))]
-        a_lo, a_hi = _fp_round_shift(_fp_dot_words(y, alpha_words), _EXPAND_F)
-        n_lo, n_hi = _fp_round_shift(_fp_dot_words(y[:n_q], theta_words),
-                                     _NU_F)
-        out = []
-        for j, r in enumerate(r_mods):
-            acc = None
-            for i in range(n_q):
-                term = mm.mulmod_shoup(mm.mod_u32(y[i], r),
-                                       omega_c[j][i][0], omega_c[j][i][1], r)
-                acc = term if acc is None else mm.addmod(acc, term, r)
-            for jj in range(len(r_mods)):
-                term = mm.mulmod_shoup(mm.mod_u32(y[n_q + jj], r),
-                                       rhat_c[j][jj][0], rhat_c[j][jj][1], r)
-                acc = mm.addmod(acc, term, r)
-            corr = mm.mulmod_shoup(_pair_mod(a_lo, a_hi, r),
-                                   tr_c[j][0], tr_c[j][1], r)
-            acc = mm.submod(acc, corr, r)
-            out.append(mm.addmod(acc, _pair_mod(n_lo, n_hi, r), r))
-        return out
+        nd = rows.ndim
+        y = mv.mulmod_shoup_v(rows, lm_all.bc(inv32, nd),
+                              lm_all.bc(inv_sh, nd), lm_all)
+        a_lo, a_hi = _fp_round_shift(
+            _fp_dot_words([y[k] for k in range(n_q + n_r)], alpha_words),
+            _EXPAND_F)
+        n_lo, n_hi = _fp_round_shift(
+            _fp_dot_words([y[i] for i in range(n_q)], theta_words), _NU_F)
+        acc = None
+        for i in range(n_q):
+            term = mv.mulmod_shoup_v(mv.mod_u32_v(y[i][None], lm_r),
+                                     lm_r.bc(omega32[:, i], nd),
+                                     lm_r.bc(omega_sh[:, i], nd), lm_r)
+            acc = term if acc is None else mv.addmod_v(acc, term, lm_r)
+        for jj in range(n_r):
+            term = mv.mulmod_shoup_v(mv.mod_u32_v(y[n_q + jj][None], lm_r),
+                                     lm_r.bc(rhat32[:, jj], nd),
+                                     lm_r.bc(rhat_sh[:, jj], nd), lm_r)
+            acc = mv.addmod_v(acc, term, lm_r)
+        corr = mv.mulmod_shoup_v(pair_mod(a_lo, a_hi, nd),
+                                 lm_r.bc(tr32, nd), lm_r.bc(tr_sh, nd), lm_r)
+        acc = mv.submod_v(acc, corr, lm_r)
+        return mv.addmod_v(acc, pair_mod(n_lo, n_hi, nd), lm_r)
 
     return scale_round
 
@@ -182,52 +197,44 @@ def build_bfv_mult(N: int, q_mods: tuple, r_mods: tuple, p_moduli: tuple,
     (c0,c1) eval [L,N]. Expansion to QR, tensor product, t/Q scale-round,
     switch back to Q, relinearize (bfvrns-leveledshe.cpp EvalMult +
     keyswitch-hybrid.cpp, fused on device)."""
-    ntts_q = [NTT32(N, m) for m in q_mods]
-    ntts_r = [NTT32(N, m) for m in r_mods]
+    all_mods = tuple(q_mods) + tuple(r_mods)
+    lm_q = mv.LimbModuli(tuple(q_mods))
+    lm_qr = mv.LimbModuli(all_mods)
+    ntt_q = NTTL(N, tuple(q_mods))
+    ntt_r = NTTL(N, tuple(r_mods))
+    ntt_qr = NTTL(N, all_mods)
     lift = _make_expand(q_mods, r_mods)
     scale_round = _make_scale_round(q_mods, r_mods, t)
     back = _make_expand(r_mods, q_mods)
     ks = _make_keyswitch(N, q_mods, p_moduli, groups)
-    n_q, n_r = len(q_mods), len(r_mods)
 
     @jax.jit
     def mult(a0, a1, b0, b1, kb, kb_sh, ka, ka_sh):
         def extend(ev):
-            """eval rows over Q -> eval rows over Q + R."""
-            coeff = [ntts_q[i].inverse(ev[i]) for i in range(n_q)]
-            ext = lift(coeff)
-            return [ev[i] for i in range(n_q)] + \
-                [ntts_r[j].forward(ext[j]) for j in range(n_r)]
+            """eval towers over Q -> eval towers over Q + R."""
+            ext = lift(ntt_q.inverse(ev))
+            return jnp.concatenate([ev, ntt_r.forward(ext)], axis=0)
 
         ea0, ea1 = extend(a0), extend(a1)
         eb0, eb1 = extend(b0), extend(b1)
-        all_mods = q_mods + r_mods
 
         def tensor(x, y, z, w):
-            # x*y + z*w per limb (z/w None -> plain product)
-            rows = []
-            for k, m in enumerate(all_mods):
-                p = mm.barrett_mulmod(x[k], y[k], m)
-                if z is not None:
-                    p = mm.addmod(p, mm.barrett_mulmod(z[k], w[k], m), m)
-                rows.append(p)
-            return rows
+            # x*y (+ z*w) over the stacked QR towers
+            p = mv.barrett_mulmod_v(x, y, lm_qr)
+            if z is not None:
+                p = mv.addmod_v(p, mv.barrett_mulmod_v(z, w, lm_qr), lm_qr)
+            return p
 
-        def scale_back(rows_ev):
-            coeff = [ntts_q[i].inverse(rows_ev[i]) for i in range(n_q)] + \
-                [ntts_r[j].inverse(rows_ev[n_q + j]) for j in range(n_r)]
-            rows_r = scale_round(coeff)
-            return back(rows_r)                       # coeff rows over Q
+        def scale_back(d_ev):
+            return back(scale_round(ntt_qr.inverse(d_ev)))
 
         d0c = scale_back(tensor(ea0, eb0, None, None))
         d1c = scale_back(tensor(ea0, eb1, ea1, eb0))
         d2c = scale_back(tensor(ea1, eb1, None, None))
-        # the shared keyswitch is limb-stacked (one op across limbs)
-        s0, s1 = ks(jnp.stack(d2c), kb, kb_sh, ka, ka_sh)
-        c0 = [mm.addmod(d0c[i], s0[i], m) for i, m in enumerate(q_mods)]
-        c1 = [mm.addmod(d1c[i], s1[i], m) for i, m in enumerate(q_mods)]
-        return (jnp.stack([ntts_q[i].forward(c0[i]) for i in range(n_q)]),
-                jnp.stack([ntts_q[i].forward(c1[i]) for i in range(n_q)]))
+        s0, s1 = ks(d2c, kb, kb_sh, ka, ka_sh)
+        c0 = mv.addmod_v(d0c, s0, lm_q)
+        c1 = mv.addmod_v(d1c, s1, lm_q)
+        return ntt_q.forward(c0), ntt_q.forward(c1)
 
     return mult
 
