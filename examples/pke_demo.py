@@ -4,7 +4,8 @@
 threshold FHE, CKKS bootstrapping) on this framework's exact-arithmetic
 host pke stack.
 
-Usage: python examples/pke_demo.py [bfv bgv ckks boot pre threshold hybrid]
+Usage: python examples/pke_demo.py [bfv bgv ckks boot pre threshold hybrid
+                                    device boot-device]
 """
 
 from __future__ import annotations
@@ -149,10 +150,99 @@ def demo_hybrid():
     print("  x^16 ok:", np.array_equal(cc.decrypt_packed(sk, ct), want))
 
 
+def demo_device():
+    """Device pke: batched mult/rotate chains for all three schemes on the
+    accelerator, towers resident as [L, B, N] u32 (a capability the
+    reference's CPU-only pke stack never had)."""
+    from tfhe_tpu.pke.bgv import BGVContext, BGVParams
+    from tfhe_tpu.pke.bgv_device import BGVDeviceContext
+    from tfhe_tpu.pke.bgv_rns import BGVRnsContext
+    from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+    from tfhe_tpu.pke.ckks_device import CKKSDeviceContext
+    from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
+    from tfhe_tpu.pke.bfv import BFVContext, BFVParams
+    from tfhe_tpu.pke.bfv_device import BFVDeviceContext
+    from tfhe_tpu.pke.bfv_rns import BFVRnsContext
+    from tfhe_tpu.pke.dcrt import DCRTParams
+
+    print("== Device pke: batched mult on the accelerator ==")
+    t0 = time.time()
+    p = CKKSParams(N=64, dcrt=DCRTParams.create(64, 4, 28),
+                   scale=float(1 << 28))
+    ctx = CKKSContext(p, seed=101)
+    sk, pk = ctx.key_gen()
+    rctx = CKKSRnsContext(ctx, dnum=2, ks_limb_bits=28)
+    dctx = CKKSDeviceContext(rctx)
+    dctx.load_relin_keys(rctx.relin_key_gen(sk))
+    zs = [np.linspace(0.1, 0.9, p.slots) * (1 + i / 10) for i in range(4)]
+    d = dctx.upload_batch([ctx.encrypt(pk, z) for z in zs])
+    outs = dctx.download_batch(dctx.eval_mult(d, d))
+    ok = all(np.abs(ctx.decrypt(sk, o).real - z * z).max() < 1e-3
+             for o, z in zip(outs, zs))
+    print(f"  CKKS batched device squaring ok: {ok} ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    bp = BGVParams.create(N=64, t=257, mult_depth=1, limb_bits=28)
+    bc = BGVContext(bp, seed=102)
+    bsk, bpk = bc.key_gen()
+    brns = BGVRnsContext(bc, ks_limb_bits=28)
+    bdev = BGVDeviceContext(brns)
+    bdev.load_relin_keys(brns.relin_key_gen(bsk))
+    vs = [np.arange(64) * (i + 1) % 257 for i in range(4)]
+    bd = bdev.upload_batch([bc.encrypt_packed(bpk, v) for v in vs])
+    bouts = bdev.download_batch(bdev.eval_mult(bd, bd))
+    ok = all(np.array_equal(bc.decrypt_packed(bsk, o), v * v % 257)
+             for o, v in zip(bouts, vs))
+    print(f"  BGV batched device squaring ok: {ok} ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    fp = BFVParams.create(N=64, t=257, mult_depth=1, limb_bits=28)
+    fc = BFVContext(fp, seed=103)
+    fsk, fpk = fc.key_gen()
+    frns = BFVRnsContext(fc, ks_limb_bits=28)
+    fdev = BFVDeviceContext(frns)
+    fdev.load_relin_key(frns.relin_key_gen(fsk))
+    fd = fdev.upload_batch([frns.encrypt_packed(fpk, v) for v in vs])
+    fouts = fdev.download_batch(fdev.eval_mult(fd, fd))
+    ok = all(np.array_equal(frns.decrypt_packed(fsk, o), v * v % 257)
+             for o, v in zip(fouts, vs))
+    print(f"  BFV batched device squaring (HPS) ok: {ok} "
+          f"({time.time()-t0:.1f}s)")
+
+
+def demo_boot_device():
+    """CKKS bootstrapping with every homomorphic op on the accelerator."""
+    import tfhe_tpu.pke.ckks_boot as cb
+    from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+    from tfhe_tpu.pke.ckks_boot_device import CKKSBootstrapDevice
+    from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
+    from tfhe_tpu.pke.dcrt import DCRTParams
+
+    print("== CKKS bootstrapping on device (BSGS + Paterson-Stockmeyer) ==")
+    t0 = time.time()
+    p = CKKSParams(N=32, dcrt=DCRTParams.create(32, 30, 28),
+                   scale=float(1 << 28))
+    ctx = CKKSContext(p, seed=104)
+    sk, pk = ctx.key_gen()
+    rctx = CKKSRnsContext(ctx, dnum=3, ks_limb_bits=28)
+    pre = cb.eval_bootstrap_setup(ctx, cheb_deg=22)
+    bd = CKKSBootstrapDevice(rctx, pre)
+    bd.keygen(sk)
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = bd.bootstrap(ct)
+    err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
+    print(f"  refreshed L=1 -> L={fresh.level_params.L}, max err {err:.2e} "
+          f"({time.time()-t0:.1f}s)")
+
+
 def main():
     demos = {"bfv": demo_bfv, "bgv": demo_bgv, "ckks": demo_ckks,
              "boot": demo_boot, "pre": demo_pre, "threshold": demo_threshold,
-             "hybrid": demo_hybrid}
+             "hybrid": demo_hybrid, "device": demo_device,
+             "boot-device": demo_boot_device}
     which = [a for a in sys.argv[1:] if a in demos] or list(demos)
     for name in which:
         demos[name]()
