@@ -376,7 +376,8 @@ def build_limb_mult(params, key, mesh: Mesh):
         acc0 = [None] * len(pq)
         acc1 = [None] * len(pq)
         for g, (g0, g1) in enumerate(groups):
-            ext = fbcs[g]([d2c[i] for i in range(g0, g1)])
+            # the shared FBC/rescale helpers are limb-stacked now
+            ext = fbcs[g](jnp.stack([d2c[i] for i in range(g0, g1)]))
             for i, m in enumerate(pq):
                 dp = fwd(ext[i], i)
                 t0 = mm.mulmod_shoup(dp, kb[g, i], kb_sh[g, i], m)
@@ -385,7 +386,7 @@ def build_limb_mult(params, key, mesh: Mesh):
                 acc1[i] = t1 if acc1[i] is None else mm.addmod(acc1[i], t1, m)
 
         def moddown(rows):
-            conv = fbc_p(rows[n_q:])
+            conv = fbc_p(jnp.stack(rows[n_q:]))
             out = []
             for i, m in enumerate(lvl):
                 diff = mm.submod(rows[i], conv[i], m)
@@ -397,7 +398,7 @@ def build_limb_mult(params, key, mesh: Mesh):
         s1 = moddown([inv(acc1[i], i) for i in range(len(pq))])
         c0c = [mm.addmod(inv(d0r[i], i), s0[i], m) for i, m in enumerate(lvl)]
         c1c = [mm.addmod(inv(d1r[i], i), s1[i], m) for i, m in enumerate(lvl)]
-        return jnp.stack(rescale(c0c)), jnp.stack(rescale(c1c))
+        return rescale(jnp.stack(c0c)), rescale(jnp.stack(c1c))
 
     row = P(None, "limb")
     key3 = P(None, None, "limb")
