@@ -75,3 +75,44 @@ def test_json_context_roundtrip(tmp_path):
     out2 = cc2.eval_bin_gate(Gate.NAND, ct1, ct2)
     assert np.array_equal(np.asarray(out1.a), np.asarray(out2.a))
     assert int(out1.b) == int(out2.b)
+
+
+def test_rns_hybrid_key_roundtrip(tmp_path):
+    """Per-level RNS hybrid keys (relin + galois) survive save/load and
+    still relinearize correctly (the pke EvalKey serialization analogue)."""
+    import numpy as np
+
+    from tfhe_tpu.pke.bgv import BGVContext, BGVParams
+    from tfhe_tpu.pke.bgv_rns import BGVRnsContext
+    from tfhe_tpu.pke.serial import load_hybrid_keys, save_hybrid_keys
+
+    N, T = 32, 193
+    cc = BGVContext(BGVParams.create(N=N, t=T, mult_depth=1, limb_bits=28),
+                    seed=61)
+    sk, pk = cc.key_gen()
+    rns = BGVRnsContext(cc, dnum=2, ks_limb_bits=28)
+    rlk = rns.relin_key_gen(sk)
+    gk = rns.galois_key_gen(sk, steps=1)
+
+    save_hybrid_keys(tmp_path / "rlk.npz", rlk)
+    save_hybrid_keys(tmp_path / "gk.npz", gk)
+    rlk2 = load_hybrid_keys(tmp_path / "rlk.npz")
+    gk2 = load_hybrid_keys(tmp_path / "gk.npz")
+
+    for lvl, k in rlk.items():
+        k2 = rlk2[lvl]
+        assert k2.t == k.t and k2.groups == [tuple(g) for g in k.groups]
+        for b, b2 in zip(k.bs, k2.bs):
+            np.testing.assert_array_equal(b.rns, b2.rns)
+    assert gk2[2].galois_k == gk[2].galois_k
+
+    rng = np.random.default_rng(0)
+    v1, v2 = (rng.integers(0, T, N) for _ in range(2))
+    out = rns.eval_mult(cc.encrypt_packed(pk, v1), cc.encrypt_packed(pk, v2),
+                        rlk2)
+    np.testing.assert_array_equal(cc.decrypt_packed(sk, out), v1 * v2 % T)
+    half = N // 2
+    v = rng.integers(0, T, N)
+    rot = rns.eval_rotate(cc.encrypt_packed(pk, v), 1, gk2)
+    want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
+    np.testing.assert_array_equal(cc.decrypt_packed(sk, rot), want)

@@ -92,3 +92,55 @@ def dumps_keys(*args, **kwargs) -> bytes:
     buf = io.BytesIO()
     save_keys(buf, *args, **kwargs)
     return buf.getvalue()
+
+
+# -- pure-RNS hybrid (GHS) keys ---------------------------------------------
+
+def save_hybrid_keys(path, keys) -> None:
+    """Serialize RNS hybrid key material (ckks_rns.RnsHybridKey): a single
+    key, or the per-level dicts produced by relin_key_gen/galois_key_gen
+    (the pke side of the reference's EvalKey serialization)."""
+    from .ckks_rns import RnsHybridKey
+    if isinstance(keys, RnsHybridKey):
+        keys = {0: keys}
+    meta: dict = {"levels": {}}
+    arrays: dict[str, np.ndarray] = {}
+    for lvl, k in keys.items():
+        meta["levels"][str(lvl)] = {
+            "N": k.pq_params.N,
+            "q_moduli": [str(m) for m in k.q_moduli],
+            "p_moduli": [str(m) for m in k.p_moduli],
+            "groups": [list(g) for g in k.groups],
+            "t": k.t,
+            "galois_k": getattr(k, "galois_k", None),
+            "n_groups": len(k.bs),
+        }
+        for g in range(len(k.bs)):
+            arrays[f"k{lvl}_b{g}"] = k.bs[g].rns
+            arrays[f"k{lvl}_a{g}"] = k.as_[g].rns
+    np.savez_compressed(path, meta=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def load_hybrid_keys(path):
+    """Returns the per-level dict (or the single key if saved bare)."""
+    from .ckks_rns import RnsHybridKey
+    data = np.load(path)
+    meta = json.loads(bytes(data["meta"]).decode())
+    out = {}
+    for lvl_s, m in meta["levels"].items():
+        q_moduli = tuple(int(x) for x in m["q_moduli"])
+        p_moduli = tuple(int(x) for x in m["p_moduli"])
+        pq = DCRTParams(N=m["N"], moduli=q_moduli + p_moduli)
+        bs, as_ = [], []
+        for g in range(m["n_groups"]):
+            bs.append(DCRTPoly(pq, data[f"k{lvl_s}_b{g}"].astype(np.uint64),
+                               eval_form=True))
+            as_.append(DCRTPoly(pq, data[f"k{lvl_s}_a{g}"].astype(np.uint64),
+                                eval_form=True))
+        key = RnsHybridKey(bs, as_, pq, q_moduli, p_moduli,
+                           [tuple(g) for g in m["groups"]], m["t"])
+        if m["galois_k"] is not None:
+            key.galois_k = m["galois_k"]
+        out[int(lvl_s)] = key
+    return out[0] if set(out) == {0} else out
