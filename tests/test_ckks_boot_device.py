@@ -56,22 +56,29 @@ def test_device_ps_chebyshev(boot):
     assert np.abs(got - want).max() < 3e-3
 
 
-def test_device_bootstrap_refreshes(boot):
-    """Depth-exhausted ciphertext refreshed ON DEVICE with documented
-    precision, then keeps computing on device."""
+def test_device_bootstrap_refreshes_batch(boot):
+    """A BATCH of depth-exhausted ciphertexts refreshed ON DEVICE in one
+    pipeline ([L, B, N] towers) with documented precision, then keeps
+    computing on device."""
     ctx, sk, pk, bd = boot
     p = ctx.params
-    z = np.linspace(-0.04, 0.04, p.slots)
-    ct = ctx.encrypt(pk, z)
-    while ct.level_params.L > 1:
-        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
-    assert ct.level_params.L == 1
-    fresh = bd.bootstrap(ct)
-    assert fresh.level_params.L >= 3, "bootstrap must leave usable levels"
-    err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
-    assert err < 5e-3, f"device bootstrap precision {err}"
-    # keep computing on the refreshed ciphertext, still on device
-    d = bd.dctx.upload(fresh)
-    sq = bd.dctx.download(bd.dctx.eval_mult(d, d))
-    err2 = np.abs(ctx.decrypt(sk, sq).real - z * z).max()
-    assert err2 < 1e-2
+    zs = [np.linspace(-0.04, 0.04, p.slots),
+          np.linspace(0.03, -0.03, p.slots)]
+    cts = []
+    for z in zs:
+        ct = ctx.encrypt(pk, z)
+        while ct.level_params.L > 1:
+            ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+        assert ct.level_params.L == 1
+        cts.append(ct)
+    fresh = bd.bootstrap_batch(cts)
+    for f, z in zip(fresh, zs):
+        assert f.level_params.L >= 3, "bootstrap must leave usable levels"
+        err = np.abs(ctx.decrypt(sk, f).real - z).max()
+        assert err < 5e-3, f"device bootstrap precision {err}"
+    # keep computing on the refreshed batch, still on device
+    d = bd.dctx.upload_batch(fresh)
+    sq = bd.dctx.download_batch(bd.dctx.eval_mult(d, d))
+    for s, z in zip(sq, zs):
+        err2 = np.abs(ctx.decrypt(sk, s).real - z * z).max()
+        assert err2 < 1e-2

@@ -286,24 +286,36 @@ class CKKSBootstrapDevice:
         CoeffsToSlots -> EvalMod -> SlotsToCoeffs entirely on device
         (EvalBootstrap, ckksrns-fhe.cpp — never available off-CPU in the
         reference)."""
+        return self.bootstrap_batch([ct])[0]
+
+    def bootstrap_batch(self, cts) -> list:
+        """Refresh a BATCH of depth-exhausted ciphertexts in one device
+        pipeline: towers ride as [L, B, N], so the whole BSGS + EvalMod
+        graph is compiled once and amortized across the batch — the
+        batch-first residency the binfhe backend uses, applied to the most
+        expensive pke operation there is."""
+        from .ckks import CKKSCiphertext
         p = self.params
         pre = self.pre
-        assert ct.polys[0].params.L == 1 and len(ct.polys) == 2
         full = p.dcrt
-        raised = []
-        for poly in ct.polys:
-            c = poly.to_centered_bigint()
-            raised.append(DCRTPoly.from_bigint(
-                full, [x % full.Q for x in c]).to_eval())
-        from .ckks import CKKSCiphertext
-        # Claim the canonical top scale and fold the input's true (drifted)
-        # scale into the final transform: the incoming ct carries
-        # s* = Delta*(1+eps) from its rescale history; mixing s*-typed
-        # (ct x ct squares it) and sf-typed (constants) paths would desync
-        # the canonical tracking, so the pipeline runs as if scale were
-        # sf[L] and SlotsToCoeffs divides the eps back out exactly.
-        corr = ct.scale / self.sf[full.L]
-        dct = self.dctx.upload(CKKSCiphertext(raised, self.sf[full.L], p))
+        assert all(c.polys[0].params.L == 1 and len(c.polys) == 2
+                   for c in cts)
+        assert all(abs(c.scale - cts[0].scale) < 1e-6 * cts[0].scale
+                   for c in cts)
+        raised_cts = []
+        for ct in cts:
+            raised = []
+            for poly in ct.polys:
+                c = poly.to_centered_bigint()
+                raised.append(DCRTPoly.from_bigint(
+                    full, [x % full.Q for x in c]).to_eval())
+            # Claim the canonical top scale; the input's true (drifted)
+            # scale s* is folded into the final transform below — mixing
+            # s*-typed (ct x ct squares it) and sf-typed (constants) paths
+            # would desync the canonical tracking.
+            raised_cts.append(CKKSCiphertext(raised, self.sf[full.L], p))
+        corr = cts[0].scale / self.sf[full.L]
+        dct = self.dctx.upload_batch(raised_cts)
 
         norm = 1.0 / (pre.K * pre.r)
         ct_slots = self.linear_transform_bsgs(dct, pre.cts_A * norm,
@@ -317,4 +329,4 @@ class CKKSBootstrapDevice:
         recomb = self.add(m_re, self.mult_plain(m_im, np.full(p.slots, 1j)))
         out = self.linear_transform_bsgs(recomb, pre.stc_A / corr,
                                          pre.stc_B / corr)
-        return self.dctx.download(out)
+        return self.dctx.download_batch(out)
