@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import modmath32 as mm
-from ..ops.ntt32 import NTT32
+from ..ops import modmath32v as mv
+from ..ops.nttl import NTTL
 from .dcrt import DCRTParams, DCRTPoly
 
 
@@ -35,11 +36,11 @@ def _check(params: DCRTParams) -> None:
 @functools.lru_cache(maxsize=None)
 def build_to_eval(params: DCRTParams):
     _check(params)
-    ntts = [NTT32(params.N, m) for m in params.moduli]
+    ntt = NTTL(params.N, tuple(params.moduli))
 
     @jax.jit
     def fwd(rns):                                   # [L, N] u32 coeff-form
-        return jnp.stack([ntts[i].forward(rns[i]) for i in range(params.L)])
+        return ntt.forward(rns)
 
     return fwd
 
@@ -47,11 +48,11 @@ def build_to_eval(params: DCRTParams):
 @functools.lru_cache(maxsize=None)
 def build_to_coeff(params: DCRTParams):
     _check(params)
-    ntts = [NTT32(params.N, m) for m in params.moduli]
+    ntt = NTTL(params.N, tuple(params.moduli))
 
     @jax.jit
     def inv(rns):                                   # [L, N] u32 eval-form
-        return jnp.stack([ntts[i].inverse(rns[i]) for i in range(params.L)])
+        return ntt.inverse(rns)
 
     return inv
 
@@ -61,21 +62,14 @@ def build_tensor_mult(params: DCRTParams):
     """(a0, a1, b0, b1) eval-form towers -> (d0, d1, d2) of the CKKS tensor
     product, all on device: d0 = a0*b0, d1 = a0*b1 + a1*b0, d2 = a1*b1."""
     _check(params)
-    mods = params.moduli
-
-    def pmul(x, y):
-        return jnp.stack([mm.barrett_mulmod(x[i], y[i], m)
-                          for i, m in enumerate(mods)])
-
-    def padd(x, y):
-        return jnp.stack([mm.addmod(x[i], y[i], m)
-                          for i, m in enumerate(mods)])
+    lm = mv.LimbModuli(tuple(params.moduli))
 
     @jax.jit
     def tensor(a0, a1, b0, b1):
-        d0 = pmul(a0, b0)
-        d1 = padd(pmul(a0, b1), pmul(a1, b0))
-        d2 = pmul(a1, b1)
+        d0 = mv.barrett_mulmod_v(a0, b0, lm)
+        d1 = mv.addmod_v(mv.barrett_mulmod_v(a0, b1, lm),
+                         mv.barrett_mulmod_v(a1, b0, lm), lm)
+        d2 = mv.barrett_mulmod_v(a1, b1, lm)
         return d0, d1, d2
 
     return tensor
