@@ -54,13 +54,21 @@ class BGVDeviceContext:
 
     # -- key management ----------------------------------------------------
 
-    def load_relin_keys(self, keys: dict) -> None:
-        for lvl_len, key in keys.items():
-            self._rlk[lvl_len] = _PackedKey(key)
+    def _load(self, store: dict, keyfn, keys) -> None:
+        if isinstance(keys, dict):
+            for lvl_len, key in keys.items():
+                store[keyfn(lvl_len)] = _PackedKey(key)
+        else:
+            pk = _PackedKey(keys)       # ONE full-chain key, every level
+            for lvl_len in range(2, pk.q_len + 1):
+                store[keyfn(lvl_len)] = pk
 
-    def load_galois_keys(self, steps: int, keys: dict) -> None:
-        for lvl_len, key in keys.items():
-            self._gk[(steps, lvl_len)] = _PackedKey(key)
+    def load_relin_keys(self, keys) -> None:
+        """Per-level dict OR a single full-chain key (level-aware)."""
+        self._load(self._rlk, lambda lv: lv, keys)
+
+    def load_galois_keys(self, steps: int, keys) -> None:
+        self._load(self._gk, lambda lv: (steps, lv), keys)
 
     # -- transfers ----------------------------------------------------------
 
@@ -111,8 +119,9 @@ class BGVDeviceContext:
         one jit per level chain (level consumed, like BGVRnsContext)."""
         assert a.moduli == b.moduli
         key = self._rlk[a.level_len]
+        groups, rows = key.level_view(a.level_len)
         fn = build_mult_relin_rescale(self.params.N, a.moduli, key.p_moduli,
-                                      key.groups, self.params.t)
+                                      groups, self.params.t, rows)
         c0, c1 = fn(a.c0, a.c1, b.c0, b.c1,
                     key.kb, key.kb_sh, key.ka, key.ka_sh)
         return DeviceBGVCiphertext(c0, c1, a.moduli[:-1])
@@ -120,9 +129,10 @@ class BGVDeviceContext:
     def eval_rotate(self, dct: DeviceBGVCiphertext,
                     steps: int) -> DeviceBGVCiphertext:
         key = self._gk[(steps, dct.level_len)]
+        groups, rows = key.level_view(dct.level_len)
         k = rotation_automorphism_index(self.params.N, steps)
         fn = build_rotate(self.params.N, dct.moduli, key.p_moduli,
-                          key.groups, k, self.params.t)
+                          groups, k, self.params.t, rows)
         c0, c1 = fn(dct.c0, dct.c1, key.kb, key.kb_sh, key.ka, key.ka_sh)
         return DeviceBGVCiphertext(c0, c1, dct.moduli)
 

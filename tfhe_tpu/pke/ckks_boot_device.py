@@ -66,14 +66,17 @@ class CKKSBootstrapDevice:
         self.sf = sf
 
     def keygen(self, sk) -> None:
-        """Relin + Galois keys for the BSGS index set, per level chain
-        (EvalBootstrapKeyGen with the rotation plan, in RNS hybrid form)."""
-        from .keyswitch import automorph_signed
-        self.dctx.load_relin_keys(self.rns.relin_key_gen(sk))
+        """Relin + Galois keys for the BSGS index set — ONE full-chain
+        hybrid key per Galois element, served to every level by the
+        level-aware restriction (EvalBootstrapKeyGen with the rotation
+        plan; 2*sqrt(slots)+2 keys total, not that times the chain
+        length)."""
+        self.dctx.load_relin_keys(self.rns.relin_key_gen_single(sk))
+        L = self.params.dcrt.L
         for k in bsgs_key_indices(self.params.N, self.params.slots):
-            keys = self.rns._per_level_keys(automorph_signed(sk[1], k), sk[1])
-            for lvl_len, key in keys.items():
-                self._gk[(k, lvl_len)] = _PackedKey(key)
+            pk = _PackedKey(self.rns.galois_key_gen_single(sk, k=k))
+            for lvl_len in range(2, L + 1):
+                self._gk[(k, lvl_len)] = pk
 
     # -- device op helpers -------------------------------------------------
 
@@ -161,11 +164,12 @@ class CKKSBootstrapDevice:
                                     ct.moduli[:-1])
 
     def auto(self, ct, k: int) -> DeviceCKKSCiphertext:
-        """X -> X^k + key switch back to s, via the per-(element, level)
-        packed Galois key."""
+        """X -> X^k + key switch back to s, via the full-chain Galois key
+        restricted to the ciphertext's level."""
         key = self._gk[(k, len(ct.moduli))]
+        groups, rows = key.level_view(len(ct.moduli))
         fn = build_rotate(self.params.N, ct.moduli, key.p_moduli,
-                          key.groups, k)
+                          groups, k, 1, rows)
         c0, c1 = fn(ct.c0, ct.c1, key.kb, key.kb_sh, key.ka, key.ka_sh)
         return DeviceCKKSCiphertext(c0, c1, ct.scale, ct.moduli)
 

@@ -117,12 +117,14 @@ def _make_fbc(src: tuple, dst: tuple):
 
 
 def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
-                    t: int = 1):
+                    t: int = 1, key_rows: tuple | None = None):
     """Hybrid key switch: coeff-form [L, N] rows of the switched poly ->
     (delta0, delta1) coeff-form rows over `lvl`. The key towers arrive as
     traced arguments [G, L_pq, N] with Shoup companions. `t` > 1 selects the
     BGV t-exact ModDown (subtract t*FBC([x*t^-1]_P), see
-    ckks_rns.rns_hybrid_key_switch)."""
+    ckks_rns.rns_hybrid_key_switch). `key_rows` selects the level's limb
+    rows out of a FULL-chain key tower (the level-aware single-key scheme:
+    the full key restricted to the level's limbs is the level key)."""
     pq = lvl + p_moduli
     n_q = len(lvl)
     lm_pq = mv.LimbModuli(tuple(pq))
@@ -156,15 +158,20 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
         return mv.mulmod_shoup_v(diff, lm_lvl.bc(pinv, nd),
                                  lm_lvl.bc(pinv_sh, nd), lm_lvl)
 
+    sel = None if key_rows is None else np.asarray(key_rows, dtype=np.int32)
+
     def ks(c2c, kb, kb_sh, ka, ka_sh):
         acc0 = acc1 = None
         for g, (g0, g1) in enumerate(groups):
             ext = fbcs[g](c2c[g0:g1])
             dp = ntt_pq.forward(ext)
-            t0 = mv.mulmod_shoup_v(dp, _bc_traced(kb[g], dp.ndim),
-                                   _bc_traced(kb_sh[g], dp.ndim), lm_pq)
-            t1 = mv.mulmod_shoup_v(dp, _bc_traced(ka[g], dp.ndim),
-                                   _bc_traced(ka_sh[g], dp.ndim), lm_pq)
+            kbg, kbshg, kag, kashg = (
+                (kb[g], kb_sh[g], ka[g], ka_sh[g]) if sel is None
+                else (kb[g][sel], kb_sh[g][sel], ka[g][sel], ka_sh[g][sel]))
+            t0 = mv.mulmod_shoup_v(dp, _bc_traced(kbg, dp.ndim),
+                                   _bc_traced(kbshg, dp.ndim), lm_pq)
+            t1 = mv.mulmod_shoup_v(dp, _bc_traced(kag, dp.ndim),
+                                   _bc_traced(kashg, dp.ndim), lm_pq)
             acc0 = t0 if acc0 is None else mv.addmod_v(acc0, t0, lm_pq)
             acc1 = t1 if acc1 is None else mv.addmod_v(acc1, t1, lm_pq)
         d0 = moddown(ntt_pq.inverse(acc0))
@@ -226,7 +233,8 @@ def _make_rescale(lvl: tuple, t: int = 1):
 
 @functools.lru_cache(maxsize=None)
 def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
-                             groups: tuple, t: int = 1):
+                             groups: tuple, t: int = 1,
+                             key_rows: tuple | None = None):
     """One jit: (a0,a1,b0,b1) eval [L,N] + relin key towers -> (c0,c1) eval
     [L-1,N]. Tensor product, relinearization, rescale — no host round trip
     (rns-leveledshe.cpp EvalMultCore + keyswitch-hybrid.cpp + ModReduce).
@@ -234,7 +242,7 @@ def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
     lm = mv.LimbModuli(tuple(lvl))
     ntt = NTTL(N, tuple(lvl))
     ntt_out = NTTL(N, tuple(lvl[:-1]))
-    ks = _make_keyswitch(N, lvl, p_moduli, groups, t)
+    ks = _make_keyswitch(N, lvl, p_moduli, groups, t, key_rows)
     rescale = _make_rescale(lvl, t)
 
     @jax.jit
@@ -253,12 +261,12 @@ def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
 
 @functools.lru_cache(maxsize=None)
 def build_rotate(N: int, lvl: tuple, p_moduli: tuple, groups: tuple, k: int,
-                 t: int = 1):
+                 t: int = 1, key_rows: tuple | None = None):
     """One jit per (level chain, Galois element): (c0,c1) eval [L,N] + galois
     key towers -> rotated (o0,o1) eval [L,N]."""
     lm = mv.LimbModuli(tuple(lvl))
     ntt = NTTL(N, tuple(lvl))
-    ks = _make_keyswitch(N, lvl, p_moduli, groups, t)
+    ks = _make_keyswitch(N, lvl, p_moduli, groups, t, key_rows)
     # a(X) -> a(X^k): out[(i*k) mod 2N] = +-a[i]; precompute the inverse
     # gather (src index per output slot) and the sign-flip mask
     idx = (np.arange(N) * k) % (2 * N)
@@ -390,9 +398,22 @@ class DeviceCKKSCiphertext:
 
 class _PackedKey:
     """Device form of an RnsHybridKey: [G, L_pq, N] u32 towers with per-limb
-    Shoup companions (the GPUSetup analogue for the pke stack)."""
+    Shoup companions (the GPUSetup analogue for the pke stack). A FULL-chain
+    key serves every level via `level_view` (static row slicing inside the
+    jit; the level-aware single-key scheme of rns_hybrid_key_switch)."""
 
-    __slots__ = ("kb", "kb_sh", "ka", "ka_sh", "p_moduli", "groups")
+    __slots__ = ("kb", "kb_sh", "ka", "ka_sh", "p_moduli", "groups", "q_len")
+
+    def level_view(self, n_l: int):
+        """(clipped groups, key row indices) for a length-n_l level chain."""
+        if n_l == self.q_len:
+            return self.groups, None
+        assert n_l < self.q_len
+        groups = tuple((g0, min(g1, n_l))
+                       for (g0, g1) in self.groups if g0 < n_l)
+        rows = tuple(range(n_l)) + tuple(
+            range(self.q_len, self.q_len + len(self.p_moduli)))
+        return groups, rows
 
     def __init__(self, key: RnsHybridKey):
         pq = key.pq_params.moduli
@@ -418,6 +439,7 @@ class _PackedKey:
         self.ka_sh = jax.device_put(ka_sh)
         self.p_moduli = key.p_moduli
         self.groups = tuple(tuple(g) for g in key.groups)
+        self.q_len = len(key.q_moduli)
 
 
 class CKKSDeviceContext:
@@ -436,13 +458,23 @@ class CKKSDeviceContext:
 
     # -- key management ----------------------------------------------------
 
-    def load_relin_keys(self, keys: dict) -> None:
-        for lvl_len, key in keys.items():
-            self._rlk[lvl_len] = _PackedKey(key)
+    def _load(self, store: dict, keyfn, keys) -> None:
+        if isinstance(keys, dict):
+            for lvl_len, key in keys.items():
+                store[keyfn(lvl_len)] = _PackedKey(key)
+        else:
+            pk = _PackedKey(keys)       # ONE full-chain key, every level
+            for lvl_len in range(2, pk.q_len + 1):
+                store[keyfn(lvl_len)] = pk
 
-    def load_galois_keys(self, steps: int, keys: dict) -> None:
-        for lvl_len, key in keys.items():
-            self._gk[(steps, lvl_len)] = _PackedKey(key)
+    def load_relin_keys(self, keys) -> None:
+        """Accepts the per-level dict OR a single full-chain RnsHybridKey
+        (served to every level by static row slicing — L x less key
+        material and keygen)."""
+        self._load(self._rlk, lambda lv: lv, keys)
+
+    def load_galois_keys(self, steps: int, keys) -> None:
+        self._load(self._gk, lambda lv: (steps, lv), keys)
 
     # -- transfers ----------------------------------------------------------
 
@@ -499,8 +531,9 @@ class CKKSDeviceContext:
                   b: DeviceCKKSCiphertext) -> DeviceCKKSCiphertext:
         assert a.moduli == b.moduli
         key = self._rlk[a.level_len]
+        groups, rows = key.level_view(a.level_len)
         fn = build_mult_relin_rescale(self.params.N, a.moduli, key.p_moduli,
-                                      key.groups)
+                                      groups, 1, rows)
         c0, c1 = fn(a.c0, a.c1, b.c0, b.c1,
                     key.kb, key.kb_sh, key.ka, key.ka_sh)
         return DeviceCKKSCiphertext(c0, c1,
@@ -510,9 +543,10 @@ class CKKSDeviceContext:
     def eval_rotate(self, dct: DeviceCKKSCiphertext,
                     steps: int) -> DeviceCKKSCiphertext:
         key = self._gk[(steps, dct.level_len)]
+        groups, rows = key.level_view(dct.level_len)
         k = rotation_automorphism_index(self.params.N, steps)
         fn = build_rotate(self.params.N, dct.moduli, key.p_moduli,
-                          key.groups, k)
+                          groups, k, 1, rows)
         c0, c1 = fn(dct.c0, dct.c1, key.kb, key.kb_sh, key.ka, key.ka_sh)
         return DeviceCKKSCiphertext(c0, c1, dct.scale, dct.moduli)
 

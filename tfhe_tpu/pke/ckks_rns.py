@@ -194,19 +194,44 @@ def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
     BGV keys (ksk.t > 1) use the t-exact ModDown: the subtracted correction
     is t*FBC([x*t^-1]_P) — congruent to x mod P and to 0 mod t — so the
     result stays = x mod t after the exact division by P (P = 1 mod t by
-    key construction; keyswitch-hybrid.cpp ModDown's BGV branch)."""
+    key construction; keyswitch-hybrid.cpp ModDown's BGV branch).
+
+    LEVEL-AWARE: `level_moduli` may be any PREFIX of the key's chain. The
+    full-chain key restricted to the level's limbs IS the level key — the
+    CRT recomposition factor B_j = (Q/D_j)*[(Q/D_j)^-1]_{D_j} satisfies
+    B_j = 1 mod D_j^l, 0 mod D_i^l when reduced mod Q_l, which defines
+    B_j^l; and P*B_j mod P*Q_l = P*(B_j mod Q_l). So ONE key serves every
+    level by row slicing + group clipping (the reference's level-aware
+    PartQlHat design, keyswitch-hybrid.cpp) — no per-level key material
+    needed."""
     lvl = tuple(level_moduli)
-    assert ksk.q_moduli[:len(lvl)] == lvl
-    pq_mods = ksk.pq_params.moduli
+    n_l = len(lvl)
+    assert ksk.q_moduli[:n_l] == lvl, \
+        "level chain must be a prefix of the key's chain"
+    full_q = len(ksk.q_moduli)
+    p_len = len(ksk.p_moduli)
+    if n_l == full_q:
+        pq_params = ksk.pq_params
+        groups = ksk.groups
+        row_idx = None
+    else:
+        pq_params = DCRTParams(N=ksk.pq_params.N,
+                               moduli=lvl + tuple(ksk.p_moduli))
+        groups = [(g0, min(g1, n_l)) for (g0, g1) in ksk.groups if g0 < n_l]
+        row_idx = np.array(list(range(n_l))
+                           + list(range(full_q, full_q + p_len)))
+    pq_mods = pq_params.moduli
     c2c = c2.to_coeff()
     N = c2c.params.N
-    assert ksk.q_moduli == lvl, "use the key generated for this level chain"
     acc0 = acc1 = None
-    for (g0, g1), b, a in zip(ksk.groups, ksk.bs, ksk.as_):
+    for (g0, g1), b, a in zip(groups, ksk.bs, ksk.as_):
         src = ksk.q_moduli[g0:g1]
         digit_src = c2c.rns[g0:g1]
         ext = fast_base_convert(digit_src, src, pq_mods)
-        dp = DCRTPoly(ksk.pq_params, ext, eval_form=False).to_eval()
+        dp = DCRTPoly(pq_params, ext, eval_form=False).to_eval()
+        if row_idx is not None:
+            b = DCRTPoly(pq_params, b.rns[row_idx], eval_form=True)
+            a = DCRTPoly(pq_params, a.rns[row_idx], eval_form=True)
         t0, t1 = b * dp, a * dp
         acc0 = t0 if acc0 is None else acc0 + t0
         acc1 = t1 if acc1 is None else acc1 + t1
@@ -214,7 +239,7 @@ def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
     out = []
     new_lp = DCRTParams(N=N, moduli=lvl)
     p_mods = ksk.p_moduli
-    n_q = len(ksk.q_moduli)
+    n_q = n_l
     t = ksk.t
     for acc in (acc0, acc1):
         ac = acc.to_coeff()
@@ -289,6 +314,31 @@ class CKKSRnsContext:
         for key in keys.values():
             key.galois_k = k
         return keys
+
+    def relin_key_gen_single(self, sk) -> RnsHybridKey:
+        """ONE full-chain relin key serving every level (level-aware
+        restriction, see rns_hybrid_key_switch) — L x less key material and
+        keygen than the per-level dict."""
+        from .keyswitch import negacyclic_square_signed
+        return rns_hybrid_ks_gen(
+            self.ctx.rng, self.params.dcrt,
+            negacyclic_square_signed(sk[1]), sk[1], self.dnum,
+            limb_bits=self.ks_limb_bits)
+
+    def galois_key_gen_single(self, sk, steps: int = 0,
+                              k: int | None = None) -> RnsHybridKey:
+        """ONE full-chain Galois key for rotation by `steps` (or a raw
+        Galois element `k`), valid at every level."""
+        from .encoding import rotation_automorphism_index
+        from .keyswitch import automorph_signed
+        if k is None:
+            k = rotation_automorphism_index(self.params.N, steps)
+        key = rns_hybrid_ks_gen(
+            self.ctx.rng, self.params.dcrt,
+            automorph_signed(sk[1], k), sk[1], self.dnum,
+            limb_bits=self.ks_limb_bits)
+        key.galois_k = k
+        return key
 
     def eval_rotate(self, ct, steps: int, gk: dict):
         """Packed slot rotation in pure RNS: coefficient-domain automorphism
