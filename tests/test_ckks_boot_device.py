@@ -82,3 +82,32 @@ def test_device_bootstrap_refreshes_batch(boot):
     for s, z in zip(sq, zs):
         err2 = np.abs(ctx.decrypt(sk, s).real - z * z).max()
         assert err2 < 1e-2
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("TFHE_SLOW"),
+                    reason="large-ring device bootstrap (minutes); TFHE_SLOW=1")
+def test_device_bootstrap_large_ring():
+    """N = 2^12 on the device kernels: the scale enabled by the level-aware
+    single keys (13 Galois keys, not 13 x chain length) and the limb-stacked
+    graphs (compile time independent of the 16-limb chain)."""
+    from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+    from tfhe_tpu.pke.ckks_boot_device import CKKSBootstrapDevice
+    from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
+    from tfhe_tpu.pke.dcrt import DCRTParams
+    N = 1 << 12
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, 16, 28),
+                   scale=float(1 << 28))
+    ctx = CKKSContext(p, seed=73)
+    sk, pk = ctx.key_gen()
+    rctx = CKKSRnsContext(ctx, dnum=3, ks_limb_bits=28)
+    pre = cb.eval_bootstrap_setup(ctx, cheb_deg=22)
+    bd = CKKSBootstrapDevice(rctx, pre)
+    bd.keygen(sk)
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = bd.bootstrap(ct)
+    assert fresh.level_params.L >= 3
+    err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
+    assert err < 5e-3, f"large-ring device bootstrap precision {err}"
