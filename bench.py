@@ -299,9 +299,8 @@ def run_ckks(args) -> dict:
     t0 = _t.time()
     sk, pk = ctx.key_gen()
     rctx = CKKSRnsContext(ctx, dnum=3, ks_limb_bits=28)
-    keys = rctx.relin_key_gen(sk)
     dctx = CKKSDeviceContext(rctx)
-    dctx.load_relin_keys(keys)
+    dctx.load_relin_keys(rctx.relin_key_gen_single(sk))
     t_keygen = _t.time() - t0
     log(f"[ckks] N={N} L={L} batch={B}; keygen {t_keygen:.1f}s")
 

@@ -92,3 +92,25 @@ def test_rotation_after_reduce(ctx):
     half = N // 2
     want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
     np.testing.assert_array_equal(out, want)
+
+
+def test_single_key_serves_all_levels(ctx):
+    """One full-chain relin/galois key works at every level (level-aware
+    restriction of the hybrid key)."""
+    cc, rns, sk, pk = ctx
+    rlk = rns.relin_key_gen_single(sk)
+    gk = rns.galois_key_gen_single(sk, steps=1)
+    rng = np.random.default_rng(7)
+    v1, v2, v3 = (rng.integers(0, T, N) for _ in range(3))
+    prod = rns.eval_mult(cc.encrypt_packed(pk, v1),
+                         cc.encrypt_packed(pk, v2), rlk)     # level 3 -> 2
+    prod = rns.eval_mult(prod, rns.mod_reduce(cc.encrypt_packed(pk, v3)),
+                         rlk)                                # level 2 -> 1
+    np.testing.assert_array_equal(cc.decrypt_packed(sk, prod),
+                                  (v1 * v2 % T) * v3 % T)
+    v = rng.integers(0, T, N)
+    out = cc.decrypt_packed(
+        sk, rns.eval_rotate(rns.mod_reduce(cc.encrypt_packed(pk, v)), 1, gk))
+    half = N // 2
+    want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
+    np.testing.assert_array_equal(out, want)

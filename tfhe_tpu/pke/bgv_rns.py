@@ -103,6 +103,27 @@ class BGVRnsContext:
         return self._per_level_keys(negacyclic_square_signed(sk.s_signed),
                                     sk.s_signed)
 
+    def relin_key_gen_single(self, sk):
+        """ONE full-chain t-noise relin key serving every level (level-aware
+        restriction, see ckks_rns.rns_hybrid_key_switch)."""
+        from .keyswitch import negacyclic_square_signed
+        return rns_hybrid_ks_gen(
+            self.ctx.rng, self.params.dcrt,
+            negacyclic_square_signed(sk.s_signed), sk.s_signed, self.dnum,
+            limb_bits=self.ks_limb_bits, t=self.params.t)
+
+    def galois_key_gen_single(self, sk, steps: int):
+        """ONE full-chain t-noise Galois key for rotation by `steps`."""
+        from .encoding import rotation_automorphism_index
+        from .keyswitch import automorph_signed
+        k = rotation_automorphism_index(self.params.N, steps)
+        key = rns_hybrid_ks_gen(
+            self.ctx.rng, self.params.dcrt,
+            automorph_signed(sk.s_signed, k), sk.s_signed, self.dnum,
+            limb_bits=self.ks_limb_bits, t=self.params.t)
+        key.galois_k = k
+        return key
+
     def galois_key_gen(self, sk, steps: int) -> dict:
         """Per-level hybrid keys switching s(X^k) -> s for the slot rotation
         by `steps` (EvalRotateKeyGen, BGV branch)."""
