@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .ckks import encode
@@ -50,6 +51,7 @@ class CKKSBootstrapDevice:
         self.pre = pre
         self.dctx = CKKSDeviceContext(rns_ctx)
         self._gk: dict[tuple[int, int], _PackedKey] = {}
+        self._pt_cache: dict = {}     # encoded transform diagonals
         # FLEXIBLEAUTO-style canonical scale per level (chain length):
         # sf[L] = Delta, sf[l-1] = sf[l]^2 / q_l. Every op below lands
         # ciphertexts exactly on sf[level] (plaintext constants are encoded
@@ -118,18 +120,27 @@ class CKKSBootstrapDevice:
         return jnp.asarray(np.array([k % m for m in moduli],
                                     dtype=np.uint64).astype(np.uint32))
 
-    def mult_plain(self, ct, vec, rescale: bool = True):
+    def mult_plain(self, ct, vec, rescale: bool = True, pt_key=None):
         """Slotwise multiply by a complex vector, host-encoded at the
         LEVEL'S canonical scale sf[l] (so a subsequent rescale lands
-        exactly on sf[l-1]), NTT'd per limb, broadcast over any batch
-        axis."""
-        lp = DCRTParams(N=self.params.N, moduli=ct.moduli)
-        s_c = self.sf[len(ct.moduli)]
-        m = encode(self.params, vec, s_c)
-        pt = np.asarray(DCRTPoly.from_signed(lp, m, eval_form=True).rns,
-                        dtype=np.uint64).astype(np.uint32)
+        exactly on sf[l-1]); only the cheap per-limb residues are built on
+        host — the plaintext NTT runs inside the jit. `pt_key` caches the
+        encoded residues (the BSGS transform re-uses fixed diagonals every
+        bootstrap)."""
+        n_l = len(ct.moduli)
+        ck = None if pt_key is None else (pt_key, n_l, bool(rescale))
+        pt = None if ck is None else self._pt_cache.get(ck)
+        if pt is None:
+            s_c = self.sf[n_l]
+            m = encode(self.params, vec, s_c)
+            pt = jax.device_put(np.stack(
+                [(m % np.int64(mod)).astype(np.uint64).astype(np.uint32)
+                 for mod in ct.moduli]))
+            if ck is not None:
+                self._pt_cache[ck] = pt
+        s_c = self.sf[n_l]
         fn = build_mult_plain(self.params.N, ct.moduli, rescale)
-        c0, c1 = fn(ct.c0, ct.c1, jnp.asarray(pt))
+        c0, c1 = fn(ct.c0, ct.c1, pt)
         if rescale:
             return DeviceCKKSCiphertext(c0, c1,
                                         ct.scale * s_c / ct.moduli[-1],
@@ -178,10 +189,12 @@ class CKKSBootstrapDevice:
 
     # -- BSGS linear transform --------------------------------------------
 
-    def linear_transform_bsgs(self, ct, A: np.ndarray,
-                              B: np.ndarray) -> DeviceCKKSCiphertext:
+    def linear_transform_bsgs(self, ct, A: np.ndarray, B: np.ndarray,
+                              tag=None) -> DeviceCKKSCiphertext:
         """w = A z + B conj(z) by baby-step/giant-step diagonals — the
-        device run of ckks_boot.eval_linear_transform_bsgs."""
+        device run of ckks_boot.eval_linear_transform_bsgs. `tag` enables
+        the per-diagonal plaintext cache (the matrices are fixed per
+        bootstrap configuration)."""
         N, s = self.params.N, self.params.slots
         b, g = _bsgs_split(s)
         j = np.arange(s)
@@ -200,11 +213,12 @@ class CKKSBootstrapDevice:
                     break
                 dP = A[j, (j + r) % s]
                 dC = B[j, (j + r) % s]
-                for d, src in ((dP, bab[k]), (dC, bab_c[k])):
+                for which, d, src in (("P", dP, bab[k]), ("C", dC, bab_c[k])):
                     if not np.any(np.abs(d) > 1e-14):
                         continue
+                    pk = None if tag is None else (tag, which, r)
                     term = self.mult_plain(src, np.roll(d, i * b),
-                                           rescale=False)
+                                           rescale=False, pt_key=pk)
                     inner = term if inner is None else self.add(inner, term)
             if inner is None:
                 continue
@@ -323,14 +337,16 @@ class CKKSBootstrapDevice:
 
         norm = 1.0 / (pre.K * pre.r)
         ct_slots = self.linear_transform_bsgs(dct, pre.cts_A * norm,
-                                              pre.cts_B * norm)
+                                              pre.cts_B * norm, tag="cts")
         w_c = self.conjugate(ct_slots)
         ct_re = self.mult_const(self.add(ct_slots, w_c), 0.5)
         ct_im = self.mult_plain(self.sub(ct_slots, w_c),
-                                np.full(p.slots, -0.5j))
+                                np.full(p.slots, -0.5j), pt_key="im_half")
         m_re = self.eval_mod(ct_re)
         m_im = self.eval_mod(ct_im)
-        recomb = self.add(m_re, self.mult_plain(m_im, np.full(p.slots, 1j)))
-        out = self.linear_transform_bsgs(recomb, pre.stc_A / corr,
-                                         pre.stc_B / corr)
+        recomb = self.add(m_re, self.mult_plain(m_im, np.full(p.slots, 1j),
+                                                pt_key="im_one"))
+        out = self.linear_transform_bsgs(
+            recomb, pre.stc_A / corr, pre.stc_B / corr,
+            tag=("stc", round(float(corr) * (1 << 48))))
         return self.dctx.download_batch(out)

@@ -296,17 +296,20 @@ def build_rotate(N: int, lvl: tuple, p_moduli: tuple, groups: tuple, k: int,
 
 @functools.lru_cache(maxsize=None)
 def build_mult_plain(N: int, lvl: tuple, rescale: bool = True):
-    """One jit: (c0, c1) eval towers x plaintext eval rows [L, N] ->
+    """One jit: (c0, c1) eval towers x plaintext COEFF rows [L, N] ->
     plaintext-multiplied towers, optionally rescaled to [L-1]
-    (EvalMultPlain + ModReduce). Towers may carry a batch axis [L, B, N];
-    the plaintext broadcasts."""
+    (EvalMultPlain + ModReduce). The plaintext NTT runs IN-GRAPH (stacked),
+    so the host only supplies cheap per-limb residues — no host-side NTT
+    per operation. Towers may carry a batch axis [L, B, N]; the plaintext
+    broadcasts."""
     lm = mv.LimbModuli(tuple(lvl))
     ntt = NTTL(N, tuple(lvl))
     resc = _make_rescale(lvl) if rescale else None
     ntt_out = NTTL(N, tuple(lvl[:-1])) if rescale else None
 
     @jax.jit
-    def f(c0, c1, pt):
+    def f(c0, c1, pt_coeff):
+        pt = ntt.forward(pt_coeff)
         out = []
         for c in (c0, c1):
             r = mv.barrett_mulmod_v(c, _bc_traced(pt, c.ndim), lm)
