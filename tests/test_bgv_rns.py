@@ -114,3 +114,12 @@ def test_single_key_serves_all_levels(ctx):
     half = N // 2
     want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
     np.testing.assert_array_equal(out, want)
+
+
+def test_eval_mult_plain(ctx):
+    cc, rns, sk, pk = ctx
+    rng = np.random.default_rng(8)
+    v = rng.integers(0, T, N)
+    w = rng.integers(0, T, N)
+    out = rns.eval_mult_plain(cc.encrypt_packed(pk, v), w)
+    np.testing.assert_array_equal(cc.decrypt_packed(sk, out), v * w % T)

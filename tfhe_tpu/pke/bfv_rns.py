@@ -314,6 +314,18 @@ class BFVRnsContext:
         return BFVCiphertext([x + y for x, y in zip(a.polys, b.polys)],
                              a.params)
 
+    def eval_mult_plain(self, ct: BFVCiphertext, values) -> BFVCiphertext:
+        """Slotwise multiply by an unencrypted packed vector (EvalMult's
+        plaintext overload): Delta*m*pt + e*pt — ring-multiply both polys
+        by the packed plaintext, no relinearization or scaling needed."""
+        from .dcrt import DCRTPoly
+        from .encoding import pack
+        lp = ct.polys[0].params
+        coeffs = pack(values, self.params.t, self.params.N)
+        pt = DCRTPoly.from_signed(lp, np.asarray(coeffs, dtype=np.int64),
+                                  eval_form=True)
+        return BFVCiphertext([p * pt for p in ct.polys], ct.params)
+
     def eval_mult(self, a: BFVCiphertext, b: BFVCiphertext,
                   rlk: RnsHybridKey | None = None) -> BFVCiphertext:
         """HPS tensor product: expand to QR, multiply, t/Q-scale-round into

@@ -164,6 +164,17 @@ class BGVRnsContext:
         return BFVCiphertext([mod_reduce_rns(p, t) for p in ct.polys],
                              ct.params)
 
+    def eval_mult_plain(self, ct: BFVCiphertext, values) -> BFVCiphertext:
+        """Slotwise multiply by an unencrypted packed vector (EvalMult's
+        plaintext overload): ring-multiply both polys by the packed
+        plaintext polynomial — no relinearization, no level cost."""
+        from .encoding import pack
+        lp = ct.polys[0].params
+        coeffs = pack(values, self.params.t, self.params.N)
+        pt = DCRTPoly.from_signed(lp, np.asarray(coeffs, dtype=np.int64),
+                                  eval_form=True)
+        return BFVCiphertext([p * pt for p in ct.polys], ct.params)
+
     def eval_rotate(self, ct: BFVCiphertext, steps: int,
                     gk: dict) -> BFVCiphertext:
         """Packed slot rotation in pure RNS: coefficient-domain automorphism
