@@ -189,39 +189,67 @@ class CKKSBootstrapDevice:
 
     # -- BSGS linear transform --------------------------------------------
 
+    def _bsgs_row_pts(self, tag, A: np.ndarray, B: np.ndarray, i: int,
+                      b: int, n_l: int):
+        """Stacked coeff-form diagonal plaintexts for giant row i:
+        ([L, b, N] for the plain babies, [L, b, N] for the conjugated ones),
+        encoded at the level's canonical scale; cached per (tag, i, level)
+        — the matrices are fixed per bootstrap configuration."""
+        ck = None if tag is None else (tag, i, n_l)
+        if ck is not None and ck in self._pt_cache:
+            return self._pt_cache[ck]
+        s = self.params.slots
+        j = np.arange(s)
+        s_c = self.sf[n_l]
+        moduli = self.params.dcrt.moduli[:n_l]
+        out = []
+        for M in (A, B):
+            pt = np.zeros((n_l, b, self.params.N), dtype=np.uint32)
+            for k in range(b):
+                r = i * b + k
+                if r >= s:
+                    break
+                d = np.roll(M[j, (j + r) % s], i * b)
+                if not np.any(np.abs(d) > 1e-14):
+                    continue
+                m = encode(self.params, d, s_c)
+                for li, mod in enumerate(moduli):
+                    pt[li, k] = (m % np.int64(mod)).astype(np.uint64) \
+                        .astype(np.uint32)
+            out.append(jax.device_put(pt))
+        out = tuple(out)
+        if ck is not None:
+            self._pt_cache[ck] = out
+        return out
+
     def linear_transform_bsgs(self, ct, A: np.ndarray, B: np.ndarray,
                               tag=None) -> DeviceCKKSCiphertext:
         """w = A z + B conj(z) by baby-step/giant-step diagonals — the
-        device run of ckks_boot.eval_linear_transform_bsgs. `tag` enables
-        the per-diagonal plaintext cache (the matrices are fixed per
-        bootstrap configuration)."""
+        device run of ckks_boot.eval_linear_transform_bsgs, with each
+        giant row's b-term baby sum fused into ONE jit
+        (build_bsgs_inner): dozens of dispatches per transform instead of
+        thousands. `tag` enables the stacked-plaintext cache."""
+        from .ckks_device import build_bsgs_inner
         N, s = self.params.N, self.params.slots
         b, g = _bsgs_split(s)
-        j = np.arange(s)
         ct_c = self.conjugate(ct)
         bab, bab_c = [ct], [ct_c]
         for k in range(1, b):
             a = galois_element(k, N)
             bab.append(self.auto(ct, a))
             bab_c.append(self.auto(ct_c, a))
+        p0 = jnp.stack([x.c0 for x in bab], axis=1)     # [L, b, (B,) N]
+        p1 = jnp.stack([x.c1 for x in bab], axis=1)
+        c0s = jnp.stack([x.c0 for x in bab_c], axis=1)
+        c1s = jnp.stack([x.c1 for x in bab_c], axis=1)
+        n_l = len(ct.moduli)
+        fused = build_bsgs_inner(N, ct.moduli, b)
+        s_c = self.sf[n_l]
         acc = None
         for i in range(g):
-            inner = None
-            for k in range(b):
-                r = i * b + k
-                if r >= s:
-                    break
-                dP = A[j, (j + r) % s]
-                dC = B[j, (j + r) % s]
-                for which, d, src in (("P", dP, bab[k]), ("C", dC, bab_c[k])):
-                    if not np.any(np.abs(d) > 1e-14):
-                        continue
-                    pk = None if tag is None else (tag, which, r)
-                    term = self.mult_plain(src, np.roll(d, i * b),
-                                           rescale=False, pt_key=pk)
-                    inner = term if inner is None else self.add(inner, term)
-            if inner is None:
-                continue
+            ptP, ptC = self._bsgs_row_pts(tag, A, B, i, b, n_l)
+            r0, r1 = fused(p0, p1, c0s, c1s, ptP, ptC)
+            inner = DeviceCKKSCiphertext(r0, r1, ct.scale * s_c, ct.moduli)
             inner = self.rescale(inner)
             if i > 0:
                 inner = self.auto(inner, galois_element(i * b, N))

@@ -344,6 +344,38 @@ def build_mult_scalar(N: int, lvl: tuple, rescale: bool = True):
 
 
 @functools.lru_cache(maxsize=None)
+def build_bsgs_inner(N: int, lvl: tuple, b: int):
+    """One jit for a whole BSGS giant row: babies stacked on a new axis
+    ([L, b, ..., N]) x their coeff-form diagonal plaintexts ([L, b, N],
+    NTT'd in-graph) -> the exact mod-sum over the b terms. Replaces ~2b
+    separate plain-mult + add dispatches per giant row with one call —
+    the difference between thousands and dozens of kernel launches per
+    CoeffsToSlots at production slot counts."""
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
+
+    @jax.jit
+    def f(p0, p1, c0, c1, ptP, ptC):
+        outs = []
+        ptPe = ntt.forward(ptP)
+        ptCe = ntt.forward(ptC)
+        for x, pt in ((p0, ptPe), (p1, ptPe), (c0, ptCe), (c1, ptCe)):
+            pt_b = pt.reshape(pt.shape[:2] + (1,) * (x.ndim - 3)
+                              + pt.shape[-1:]) if x.ndim > 3 else pt
+            outs.append(mv.barrett_mulmod_v(x, pt_b, lm))
+        acc0 = mv.addmod_v(outs[0], outs[2], lm)
+        acc1 = mv.addmod_v(outs[1], outs[3], lm)
+        r0 = acc0[:, 0]
+        r1 = acc1[:, 0]
+        for k in range(1, b):
+            r0 = mv.addmod_v(r0, acc0[:, k], lm)
+            r1 = mv.addmod_v(r1, acc1[:, k], lm)
+        return r0, r1
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def build_rescale_only(N: int, lvl: tuple):
     """One jit: towers [L, ..., N] -> [L-1, ..., N], RNS rescale by 1/q_last
     (standalone ModReduce)."""
