@@ -75,6 +75,16 @@ def _embedding_roots(N: int) -> np.ndarray:
     return np.exp(1j * np.pi * _slot_exponents(N) / N)
 
 
+@lru_cache(maxsize=4)
+def _embedding_matrix(N: int) -> np.ndarray:
+    """[N/2, N] zeta^{-(2j+1)k} — cached: building it costs ~N^2/2 complex
+    pows, which dominated encode() when called per transform diagonal
+    (N = 4096 -> ~0.5 s/call x thousands of diagonals)."""
+    roots = _embedding_roots(N)
+    k = np.arange(N)
+    return roots[:, None] ** (-k[None, :])
+
+
 def encode(params: CKKSParams, z, scale: float | None = None) -> np.ndarray:
     """Complex slot vector [<= N/2] -> integer coefficient vector [N]
     (round(Delta * inv-embedding))."""
@@ -83,10 +93,8 @@ def encode(params: CKKSParams, z, scale: float | None = None) -> np.ndarray:
     zf = np.zeros(N // 2, dtype=np.complex128)
     z = np.asarray(z, dtype=np.complex128).reshape(-1)
     zf[:z.size] = z
-    roots = _embedding_roots(N)                       # zeta^(2j+1)
-    k = np.arange(N)
     # m_k = (2/N) * Re( sum_j zf_j * conj(roots_j)^k )  (conjugate pair folded)
-    M = roots[:, None] ** (-k[None, :])               # [N/2, N] zeta^{-(2j+1)k}
+    M = _embedding_matrix(N)                          # [N/2, N]
     mk = (2.0 / N) * np.real(zf[None, :] @ M).reshape(N)
     return np.round(mk * scale).astype(np.int64)
 
@@ -94,9 +102,7 @@ def encode(params: CKKSParams, z, scale: float | None = None) -> np.ndarray:
 def decode(params: CKKSParams, coeffs, scale: float) -> np.ndarray:
     """Centered big-int coefficients [N] -> complex slots [N/2]."""
     N = params.N
-    roots = _embedding_roots(N)
-    k = np.arange(N)
-    V = roots[:, None] ** (k[None, :])                # [N/2, N]
+    V = np.conj(_embedding_matrix(N))                 # [N/2, N] zeta^{+...}
     c = np.array([float(x) for x in coeffs])
     return (V @ c) / scale
 
