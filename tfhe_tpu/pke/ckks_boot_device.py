@@ -40,15 +40,18 @@ from .ckks_rns import CKKSRnsContext
 from .dcrt import DCRTParams, DCRTPoly
 
 
-class CKKSBootstrapDevice:
-    """Device bootstrap driver: holds the per-level relin + BSGS Galois key
-    set (packed, device-resident) and the transform precomputation."""
+class CKKSDeviceEvaluator:
+    """Generic device CKKS evaluator: FLEXIBLEAUTO-style canonical-scale
+    leveled arithmetic (add/sub/mult/mult_plain/mult_const), automorphisms
+    and slot rotations through level-aware packed hybrid keys, BSGS linear
+    transforms, and Paterson-Stockmeyer Chebyshev evaluation — every op
+    through the device tower kernels. `CKKSBootstrapDevice` and the device
+    advanced-SHE layer (`advancedshe_device.py`) both build on this."""
 
-    def __init__(self, rns_ctx: CKKSRnsContext, pre: BootstrapPrecom):
+    def __init__(self, rns_ctx: CKKSRnsContext):
         self.rns = rns_ctx
         self.ctx = rns_ctx.ctx
         self.params = rns_ctx.params
-        self.pre = pre
         self.dctx = CKKSDeviceContext(rns_ctx)
         self._gk: dict[tuple[int, int], _PackedKey] = {}
         self._pt_cache: dict = {}     # encoded transform diagonals
@@ -67,18 +70,33 @@ class CKKSBootstrapDevice:
             sf[lv - 1] = sf[lv] * sf[lv] / mods[lv - 1]
         self.sf = sf
 
-    def keygen(self, sk) -> None:
-        """Relin + Galois keys for the BSGS index set — ONE full-chain
-        hybrid key per Galois element, served to every level by the
-        level-aware restriction (EvalBootstrapKeyGen with the rotation
-        plan; 2*sqrt(slots)+2 keys total, not that times the chain
-        length)."""
-        self.dctx.load_relin_keys(self.rns.relin_key_gen_single(sk))
+    def load_galois_elements(self, sk, elements) -> None:
+        """ONE full-chain hybrid key per Galois element, served to every
+        level by the level-aware restriction (the PartQlHat row-slicing
+        design)."""
         L = self.params.dcrt.L
-        for k in bsgs_key_indices(self.params.N, self.params.slots):
+        for k in elements:
+            if (k, L) in self._gk:
+                continue
             pk = _PackedKey(self.rns.galois_key_gen_single(sk, k=k))
             for lvl_len in range(2, L + 1):
                 self._gk[(k, lvl_len)] = pk
+
+    def keygen_rotations(self, sk, rots, conj: bool = True) -> None:
+        """Relin key + Galois keys for the given slot rotations (and the
+        conjugation element) — the EvalAtIndexKeyGen analogue for the
+        device tier."""
+        self.dctx.load_relin_keys(self.rns.relin_key_gen_single(sk))
+        els = [galois_element(r, self.params.N) for r in rots]
+        if conj:
+            els.append(conj_element(self.params.N))
+        self.load_galois_elements(sk, els)
+
+    def rotate(self, ct, rot: int) -> DeviceCKKSCiphertext:
+        """Slot rotation: out[j] = in[j + rot] (EvalRotate)."""
+        if rot % self.params.slots == 0:
+            return ct
+        return self.auto(ct, galois_element(rot, self.params.N))
 
     # -- device op helpers -------------------------------------------------
 
@@ -317,6 +335,23 @@ class CKKSBootstrapDevice:
 
         ct_out, const = ev(np.asarray(coeffs, dtype=np.float64))
         return self.add_const(ct_out, const) if abs(const) > 1e-14 else ct_out
+
+class CKKSBootstrapDevice(CKKSDeviceEvaluator):
+    """Device bootstrap driver: the generic evaluator plus the bootstrap
+    precomputation (transform matrices, EvalMod Chebyshev series) and the
+    BSGS rotation-plan keygen."""
+
+    def __init__(self, rns_ctx: CKKSRnsContext, pre: BootstrapPrecom):
+        super().__init__(rns_ctx)
+        self.pre = pre
+
+    def keygen(self, sk) -> None:
+        """Relin + Galois keys for the BSGS index set
+        (EvalBootstrapKeyGen with the rotation plan; 2*sqrt(slots)+2 keys
+        total, not that times the chain length)."""
+        self.dctx.load_relin_keys(self.rns.relin_key_gen_single(sk))
+        self.load_galois_elements(
+            sk, bsgs_key_indices(self.params.N, self.params.slots))
 
     def eval_mod(self, t) -> DeviceCKKSCiphertext:
         pre = self.pre
