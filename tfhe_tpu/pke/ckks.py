@@ -49,6 +49,9 @@ class CKKSCiphertext:
     polys: list               # DCRTPoly (EVAL), possibly at a reduced chain
     scale: float
     params: CKKSParams
+    noise_deg: int = 1        # 1 = rescaled, 2 = holds one deferred rescale
+                              # (the reference's NoiseScaleDeg, used by the
+                              # automatic scaling techniques in ckks_auto.py)
 
     @property
     def level_params(self) -> DCRTParams:
