@@ -12,7 +12,7 @@ import pytest
 from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
 from tfhe_tpu.pke.ckks_auto import CKKSAutoContext
 from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
-from tfhe_tpu.pke.dcrt import DCRTParams
+from tfhe_tpu.pke.dcrt import DCRTParams, _moduli_chain_pattern
 
 N, L = 64, 6
 TOL = 2e-5
@@ -20,7 +20,10 @@ TOL = 2e-5
 
 @pytest.fixture(scope="module", params=["flexibleauto", "fixedauto"])
 def auto_ctx(request):
-    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, L, 40),
+    # wide first limb (firstModSize rule) so last-level values keep headroom
+    p = CKKSParams(N=N,
+                   dcrt=DCRTParams(N=N, moduli=_moduli_chain_pattern(
+                       N, (52,) + (40,) * (L - 1))),
                    scale=float(1 << 40))
     ctx = CKKSContext(p, seed=20260818)
     rctx = CKKSRnsContext(ctx, dnum=2)
@@ -120,6 +123,26 @@ def test_rotation_composes_with_auto(auto_ctx):
     got = actx.decrypt(sk, s).real
     want = np.roll(x * y, -1) + x
     assert np.abs(got - want).max() < TOL
+
+
+def test_full_depth_with_plaintext_tail(auto_ctx):
+    """Consume the whole chain (x^18 + x^9 + 1 needs 5 levels) and finish
+    with a plaintext add at the LAST level — regression for the last-level
+    headroom wrap (scale ~ q_0 made encoded constants vanish mod q_0)."""
+    actx, sk, pk, rlk = auto_ctx
+    x = np.linspace(1.0, 1.07, N // 2)
+    c = actx.encrypt(pk, x)
+    c2 = actx.eval_mult(c, c, rlk)
+    c4 = actx.eval_mult(c2, c2, rlk)
+    c8 = actx.eval_mult(c4, c4, rlk)
+    c16 = actx.eval_mult(c8, c8, rlk)
+    c9 = actx.eval_mult(c8, c, rlk)
+    c18 = actx.eval_mult(c16, c2, rlk)
+    res = actx.eval_add_plain(actx.eval_add(c18, c9), 1.0)
+    assert res.polys[0].params.L == 1      # genuinely at the last level
+    got = actx.decrypt(sk, res).real
+    want = x ** 18 + x ** 9 + 1
+    assert np.abs(got - want).max() < 5e-4
 
 
 def test_canonical_grid_invariant(auto_ctx):

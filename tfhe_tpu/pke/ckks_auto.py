@@ -72,6 +72,14 @@ class CKKSAutoContext:
         self.params = rns_ctx.params
         self.technique = technique
         full = self.params.dcrt
+        if full.moduli[0] < 4 * self.params.scale:
+            import warnings
+            warnings.warn(
+                "first chain modulus leaves <2 bits of last-level headroom "
+                "over the encoding scale; messages evaluated down to the "
+                "final level will wrap (use a wide first limb, e.g. "
+                "first_mod_bits=60 — the reference's firstModSize rule)",
+                stacklevel=2)
         sf = [0.0] * (full.L + 1)
         sf[full.L] = self.params.scale
         for l in range(full.L, 1, -1):

@@ -27,13 +27,19 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
                        limb_bits: int = 54,
                        security_level: str | None = None,
                        key_switch: str = "bv",
+                       scaling_technique: str = "fixedmanual",
+                       dnum: int = 2,
                        seed: int | None = None):
     """GenCryptoContext analogue.
 
     scheme: "BFV" | "BGV" | "CKKS".
     For BFV/BGV: `plaintext_modulus` (prime t = 1 mod 2N enables packed
     encoding). For CKKS: `scale_bits` sets the default encoding scale and
-    `first_mod_bits` the wide first limb.
+    `first_mod_bits` the wide first limb; `scaling_technique` picks the
+    rescaling mode ("fixedmanual" returns the plain context; "fixedauto" /
+    "flexibleauto" return a `CKKSAutoContext` over the pure-RNS evaluator
+    with `dnum` hybrid key-switch digits — ckksrns-leveledshe.cpp's
+    ScalingTechnique).
 
     Parameter generation: when `N` is omitted, the ring dimension and the
     moduli chain are derived from (`mult_depth`, `security_level`) — the
@@ -75,11 +81,25 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
                                                   extra_mod=plaintext_modulus))
         cc = BGVContext(params, seed=seed)
     elif s in ("CKKS", "CKKSRNS"):
+        if scaling_technique not in ("fixedmanual", "fixedauto",
+                                     "flexibleauto"):
+            raise ValueError(f"unknown scaling_technique "
+                             f"{scaling_technique!r}")
+
+        def _wrap(base):
+            if scaling_technique == "fixedmanual":
+                return base
+            from .ckks_auto import CKKSAutoContext
+            from .ckks_rns import CKKSRnsContext
+            return CKKSAutoContext(CKKSRnsContext(base, dnum=dnum),
+                                   technique=scaling_technique)
+
         if security_level == "NotSet":
-            return CKKSContext(CKKSParams.create(N=N, mult_depth=mult_depth,
-                                                 scale_bits=scale_bits,
-                                                 limb_bits=min(limb_bits, 50)),
-                               seed=seed)
+            return _wrap(CKKSContext(
+                CKKSParams.create(N=N, mult_depth=mult_depth,
+                                  scale_bits=scale_bits,
+                                  limb_bits=min(limb_bits, 50)),
+                seed=seed))
         d = derive_ckks(mult_depth, scale_bits, first_mod_bits,
                         security_level, ring_dim=N, key_switch=key_switch)
         params = CKKSParams(
@@ -89,6 +109,10 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
                                                          d.limb_bits)),
             scale=float(1 << scale_bits))
         cc = CKKSContext(params, seed=seed)
+        if scaling_technique != "fixedmanual":
+            wrapped = _wrap(cc)
+            wrapped.derived = d
+            return wrapped
     else:
         raise ValueError(f"unknown scheme {scheme!r} (BFV, BGV, or CKKS)")
     cc.derived = d               # inspection hook (CCParams print analogue)
