@@ -234,16 +234,19 @@ def _make_rescale(lvl: tuple, t: int = 1):
 @functools.lru_cache(maxsize=None)
 def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
                              groups: tuple, t: int = 1,
-                             key_rows: tuple | None = None):
+                             key_rows: tuple | None = None,
+                             rescale: bool = True):
     """One jit: (a0,a1,b0,b1) eval [L,N] + relin key towers -> (c0,c1) eval
     [L-1,N]. Tensor product, relinearization, rescale — no host round trip
     (rns-leveledshe.cpp EvalMultCore + keyswitch-hybrid.cpp + ModReduce).
-    `t` > 1 selects the BGV variants of the ModDown and ModReduce steps."""
+    `t` > 1 selects the BGV variants of the ModDown and ModReduce steps.
+    `rescale=False` keeps the product at [L,N] / noise degree 2 — the lazy
+    rescale of the automatic scaling techniques (ckks_auto_device.py)."""
     lm = mv.LimbModuli(tuple(lvl))
     ntt = NTTL(N, tuple(lvl))
-    ntt_out = NTTL(N, tuple(lvl[:-1]))
+    ntt_out = NTTL(N, tuple(lvl[:-1])) if rescale else None
     ks = _make_keyswitch(N, lvl, p_moduli, groups, t, key_rows)
-    rescale = _make_rescale(lvl, t)
+    resc = _make_rescale(lvl, t) if rescale else None
 
     @jax.jit
     def mult(a0, a1, b0, b1, kb, kb_sh, ka, ka_sh):
@@ -252,9 +255,11 @@ def build_mult_relin_rescale(N: int, lvl: tuple, p_moduli: tuple,
                          mv.barrett_mulmod_v(a1, b0, lm), lm)
         d2 = mv.barrett_mulmod_v(a1, b1, lm)
         s0, s1 = ks(ntt.inverse(d2), kb, kb_sh, ka, ka_sh)
-        c0 = rescale(mv.addmod_v(ntt.inverse(d0), s0, lm))
-        c1 = rescale(mv.addmod_v(ntt.inverse(d1), s1, lm))
-        return ntt_out.forward(c0), ntt_out.forward(c1)
+        c0 = mv.addmod_v(ntt.inverse(d0), s0, lm)
+        c1 = mv.addmod_v(ntt.inverse(d1), s1, lm)
+        if rescale:
+            return ntt_out.forward(resc(c0)), ntt_out.forward(resc(c1))
+        return ntt.forward(c0), ntt.forward(c1)
 
     return mult
 
@@ -392,6 +397,22 @@ def build_rescale_only(N: int, lvl: tuple):
 
 
 @functools.lru_cache(maxsize=None)
+def build_add_plain(N: int, lvl: tuple, sub: bool = False):
+    """One jit: c0 + plaintext COEFF rows [L, N] (NTT'd in-graph) —
+    EvalAddPlain for vector plaintexts; c1 passes through untouched."""
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
+    op = mv.submod_v if sub else mv.addmod_v
+
+    @jax.jit
+    def f(c0, pt_coeff):
+        pt = ntt.forward(pt_coeff)
+        return op(c0, _bc_traced(pt, c0.ndim), lm)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def build_add_scalar(lvl: tuple):
     """One jit: c0 + per-limb scalar [L] (constant polynomial is constant in
     the evaluation domain) — EvalAddConst; c1 unchanged by the caller."""
@@ -425,6 +446,7 @@ class DeviceCKKSCiphertext:
     c1: jax.Array
     scale: float
     moduli: tuple
+    noise_deg: int = 1          # NoiseScaleDeg for the auto-scaling layer
 
     @property
     def level_len(self) -> int:
