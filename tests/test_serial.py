@@ -116,3 +116,37 @@ def test_rns_hybrid_key_roundtrip(tmp_path):
     rot = rns.eval_rotate(cc.encrypt_packed(pk, v), 1, gk2)
     want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
     np.testing.assert_array_equal(cc.decrypt_packed(sk, rot), want)
+
+
+def test_ckks_ciphertext_roundtrip(tmp_path):
+    """CKKS ciphertext serialization: reduced chain + scale + noise degree
+    survive a save/load, and the loaded ct decrypts identically."""
+    import numpy as np
+
+    from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+    from tfhe_tpu.pke.ckks_auto import CKKSAutoContext
+    from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
+    from tfhe_tpu.pke.dcrt import DCRTParams, _moduli_chain_pattern
+    from tfhe_tpu.pke.serial import (load_ckks_ciphertext,
+                                     save_ckks_ciphertext)
+
+    p = CKKSParams(N=64, dcrt=DCRTParams(N=64, moduli=_moduli_chain_pattern(
+        64, (52, 40, 40))), scale=float(1 << 40))
+    ctx = CKKSContext(p, seed=77)
+    actx = CKKSAutoContext(CKKSRnsContext(ctx, dnum=2))
+    sk, pk = actx.key_gen()
+    rlk = actx.relin_key_gen(sk)
+    x = np.linspace(0.2, 0.8, 32)
+    ct = actx.eval_mult(actx.encrypt(pk, x), actx.encrypt(pk, x), rlk)
+
+    path = tmp_path / "ckks_ct.npz"
+    save_ckks_ciphertext(path, ct)
+    back = load_ckks_ciphertext(path)
+    assert back.noise_deg == ct.noise_deg == 2
+    assert back.scale == ct.scale
+    assert back.polys[0].params.moduli == ct.polys[0].params.moduli
+    for a, b in zip(ct.polys, back.polys):
+        np.testing.assert_array_equal(a.rns, b.rns)
+    got = actx.decrypt(sk, back).real
+    want = actx.decrypt(sk, ct).real
+    np.testing.assert_array_equal(got, want)

@@ -88,6 +88,38 @@ def load_ciphertext(path) -> BFVCiphertext:
     return BFVCiphertext(polys, params)
 
 
+def save_ckks_ciphertext(path, ct) -> None:
+    """Serialize a CKKSCiphertext: towers (possibly at a reduced chain) +
+    scale + noise degree — the cereal Ciphertext<DCRTPoly> analogue for
+    CKKS, where the scale/degree metadata is part of the ciphertext state
+    (ckksrns scalingFactor / noiseScaleDeg)."""
+    lp = ct.polys[0].params
+    meta = {"N": lp.N, "moduli": [str(m) for m in lp.moduli],
+            "scale": repr(ct.scale), "noise_deg": ct.noise_deg,
+            "k": len(ct.polys),
+            "full_moduli": [str(m) for m in ct.params.dcrt.moduli],
+            "params_scale": repr(ct.params.scale)}
+    arrays = {f"c{i}": ct.polys[i].rns for i in range(len(ct.polys))}
+    np.savez_compressed(path, meta=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def load_ckks_ciphertext(path):
+    from .ckks import CKKSCiphertext, CKKSParams
+    data = np.load(path)
+    meta = json.loads(bytes(data["meta"]).decode())
+    lp = DCRTParams(N=meta["N"],
+                    moduli=tuple(int(m) for m in meta["moduli"]))
+    full = DCRTParams(N=meta["N"],
+                      moduli=tuple(int(m) for m in meta["full_moduli"]))
+    params = CKKSParams(N=meta["N"], dcrt=full,
+                        scale=float(meta["params_scale"]))
+    polys = [DCRTPoly(lp, data[f"c{i}"].astype(np.uint64), eval_form=True)
+             for i in range(meta["k"])]
+    return CKKSCiphertext(polys, float(meta["scale"]), params,
+                          noise_deg=int(meta["noise_deg"]))
+
+
 def dumps_keys(*args, **kwargs) -> bytes:
     buf = io.BytesIO()
     save_keys(buf, *args, **kwargs)
