@@ -60,9 +60,12 @@ class BFVParams:
 class BFVCiphertext:
     polys: list              # list[DCRTPoly], degree = len-1, EVAL form
     params: BFVParams
+    noise_deg: int = 1       # mod-reduces owed (the BGV auto-scaling layer's
+                             # NoiseScaleDeg; unused by plain BFV)
 
     def copy(self) -> "BFVCiphertext":
-        return BFVCiphertext([p.copy() for p in self.polys], self.params)
+        return BFVCiphertext([p.copy() for p in self.polys], self.params,
+                             self.noise_deg)
 
 
 @dataclass
