@@ -71,3 +71,24 @@ def test_threshold_decrypt(ctx):
     shares = [adv.multiparty_decrypt_lead(cc, parties[0], ct)]
     shares += [adv.multiparty_decrypt_main(cc, p, ct) for p in parties[1:]]
     np.testing.assert_array_equal(adv.multiparty_decrypt_fusion(cc, shares), m)
+
+
+def test_threshold_shares_are_flooded(ctx):
+    """Each partial decryption carries sigma = MP_SD = 2^20 flooding noise
+    (base-multiparty.cpp's 'e is added to do noise flooding'): the share
+    minus the exact c1*s term must be a ~2^20-std Gaussian, not the bare
+    scheme noise."""
+    import tfhe_tpu.pke.advanced as adv
+    cc = ctx[0]
+    parties, joint_pk, joint_sk = adv.multiparty_key_gen(cc, 2)
+    m = np.arange(cc.params.N) % cc.params.t
+    ct = cc.encrypt(joint_pk, m)
+    share = adv.multiparty_decrypt_main(cc, parties[1], ct)
+    exact = ct.polys[1] * parties[1].s
+    resid = (share - exact).to_centered_bigint()
+    std = np.std(np.array([float(x) for x in resid]))
+    assert 0.5 * adv.MP_SD < std < 2.0 * adv.MP_SD
+    # and fusion still decrypts correctly through the flooding
+    shares = [adv.multiparty_decrypt_lead(cc, parties[0], ct),
+              adv.multiparty_decrypt_main(cc, parties[1], ct)]
+    np.testing.assert_array_equal(adv.multiparty_decrypt_fusion(cc, shares), m)

@@ -109,19 +109,39 @@ def multiparty_key_gen(cc: BFVContext, n_parties: int):
     return parties, joint_pk, joint_sk
 
 
+# NOISE_FLOODING::MP_SD (constants.h:157): each partial decryption floods
+# its share with a sigma = 2^20 Gaussian so the published share leaks
+# nothing about the party's secret beyond the fused result
+# (base-multiparty.cpp:228-273, "e is added to do noise flooding").
+MP_SD = float(1 << 20)
+
+
+def _flooding_term(cc: BFVContext) -> DCRTPoly:
+    from .bgv import BGVContext
+    from .dcrt import DCRTPoly as _P
+    ns = cc.params.t if isinstance(cc, BGVContext) else 1   # NoiseScale
+    if not isinstance(cc, BGVContext):
+        # BFV: total flooding across parties must stay under Delta/2 = Q/2t
+        assert 16 * MP_SD * cc.params.t < cc.params.Q, \
+            "flooding noise would overwhelm the BFV scaling factor Q/t"
+    e = cc.rng.flooding_gaussian_signed(cc.params.N, MP_SD)
+    poly = _P.from_signed(cc.params.dcrt, e, eval_form=True)
+    return poly.mul_scalar(ns) if ns != 1 else poly
+
+
 def multiparty_decrypt_lead(cc: BFVContext, sk: BFVSecretKey,
                             ct: BFVCiphertext) -> DCRTPoly:
-    """Lead party's partial decryption c0 + c1*s_lead + t*e_smudge
-    (MultipartyDecryptLead)."""
-    e = cc._gaussian()
-    return ct.polys[0] + ct.polys[1] * sk.s + e.mul_scalar(1)
+    """Lead party's partial decryption c0 + c1*s_lead + ns*e_flood with the
+    sigma = MP_SD flooding Gaussian (MultipartyDecryptLead,
+    base-multiparty.cpp:228-249)."""
+    return ct.polys[0] + ct.polys[1] * sk.s + _flooding_term(cc)
 
 
 def multiparty_decrypt_main(cc: BFVContext, sk: BFVSecretKey,
                             ct: BFVCiphertext) -> DCRTPoly:
-    """Non-lead partial decryption c1*s_i + e_smudge (MultipartyDecryptMain)."""
-    e = cc._gaussian()
-    return ct.polys[1] * sk.s + e.mul_scalar(1)
+    """Non-lead partial decryption c1*s_i + ns*e_flood
+    (MultipartyDecryptMain, base-multiparty.cpp:251-273)."""
+    return ct.polys[1] * sk.s + _flooding_term(cc)
 
 
 def multiparty_decrypt_fusion(cc: BFVContext, shares: list) -> np.ndarray:

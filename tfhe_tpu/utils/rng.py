@@ -115,6 +115,17 @@ class BinFHERng:
         idx = np.searchsorted(cdf, u, side="right")
         return xs[np.minimum(idx, len(xs) - 1)].astype(np.int64)
 
+    def flooding_gaussian_signed(self, size: int, sigma: float) -> np.ndarray:
+        """Rounded continuous Gaussian for LARGE flooding sigmas (threshold
+        decryption's MP_SD = 2^20 etc.) — the CDF-inversion table of
+        discrete_gaussian_signed would need ~12*sigma entries there. Drawn
+        from the context's own uniform stream (Box-Muller), so seeding stays
+        deterministic."""
+        u1 = np.clip(self._uniform01(size), 1e-300, None)
+        u2 = self._uniform01(size)
+        g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+        return np.rint(g * sigma).astype(np.int64)
+
     def discrete_uniform(self, size: int, modulus: int,
                          dtype=np.uint64) -> np.ndarray:
         """Uniform residues in [0, modulus). `dtype` narrows the OUTPUT
