@@ -92,3 +92,22 @@ def test_threshold_shares_are_flooded(ctx):
     shares = [adv.multiparty_decrypt_lead(cc, parties[0], ct),
               adv.multiparty_decrypt_main(cc, parties[1], ct)]
     np.testing.assert_array_equal(adv.multiparty_decrypt_fusion(cc, shares), m)
+
+
+def test_pre_hra_rerandomized(ctx):
+    """ReEncrypt with the delegator's public key re-randomizes with a
+    flooded zero-encryption (HRA mode, base-pre.cpp:55-62): still decrypts
+    under the delegatee's key, and the output differs from the plain
+    re-encryption by flooding-scale randomness."""
+    import tfhe_tpu.pke.advanced as adv
+    cc = ctx[0]
+    sk_a, pk_a = cc.key_gen()
+    sk_b, pk_b = cc.key_gen()
+    rk = adv.re_key_gen(cc, sk_a, sk_b)
+    m = (np.arange(cc.params.N) * 7) % cc.params.t
+    ct = cc.encrypt(pk_a, m)
+    plain = adv.re_encrypt(cc, ct, rk)
+    hra = adv.re_encrypt(cc, ct, rk, public_key=pk_a)
+    np.testing.assert_array_equal(cc.decrypt(sk_b, hra), m)
+    d = (hra.polys[0] - plain.polys[0]).to_centered_bigint()
+    assert np.std([float(x) for x in d]) > 0.1 * adv.MP_SD

@@ -67,11 +67,25 @@ def re_key_gen(cc: BFVContext, sk_from: BFVSecretKey,
     return rk
 
 
-def re_encrypt(cc: BFVContext, ct: BFVCiphertext, rk: BFVRelinKey) -> BFVCiphertext:
-    """ReEncrypt (base-pre.cpp): key-switch the c1 component from the
-    delegator's key to the delegatee's."""
+def re_encrypt(cc: BFVContext, ct: BFVCiphertext, rk: BFVRelinKey,
+               public_key: BFVPublicKey | None = None) -> BFVCiphertext:
+    """ReEncrypt (base-pre.cpp:47-66): key-switch the c1 component from the
+    delegator's key to the delegatee's. When the delegator's `public_key`
+    is supplied, the ciphertext is first re-randomized with a NOISE-FLOODED
+    encryption of zero (EncryptZeroCore with the flooding distribution,
+    base-pre.cpp:55-62) — the HRA-security mode, hiding the original
+    ciphertext's randomness from the delegatee."""
     p = cc.params
     assert len(ct.polys) == 2
+    if public_key is not None:
+        u, _ = cc._ternary()
+        e_flood = DCRTPoly.from_signed(
+            p.dcrt, cc.rng.flooding_gaussian_signed(p.N, MP_SD),
+            eval_form=True)
+        ct = BFVCiphertext(
+            [ct.polys[0] + public_key.b * u + e_flood,
+             ct.polys[1] + public_key.a * u + cc._gaussian()],
+            p, ct.noise_deg)
     T = 1 << p.relin_window
     c1_big = ct.polys[1].to_bigint()
     c0 = ct.polys[0]
