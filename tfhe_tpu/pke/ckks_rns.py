@@ -185,11 +185,51 @@ def rns_hybrid_ks_gen(rng, q_params: DCRTParams, s_from_signed, s_to_signed,
                         groups, t)
 
 
+def _ks_level_view(ksk: RnsHybridKey, lvl: tuple):
+    """(pq_params, clipped groups, key row indices) for a prefix chain."""
+    n_l = len(lvl)
+    assert ksk.q_moduli[:n_l] == lvl, \
+        "level chain must be a prefix of the key's chain"
+    full_q = len(ksk.q_moduli)
+    p_len = len(ksk.p_moduli)
+    if n_l == full_q:
+        return ksk.pq_params, ksk.groups, None
+    pq_params = DCRTParams(N=ksk.pq_params.N,
+                           moduli=lvl + tuple(ksk.p_moduli))
+    groups = [(g0, min(g1, n_l)) for (g0, g1) in ksk.groups if g0 < n_l]
+    row_idx = np.array(list(range(n_l))
+                       + list(range(full_q, full_q + p_len)))
+    return pq_params, groups, row_idx
+
+
+def ks_digits_precompute(ksk: RnsHybridKey, c2: DCRTPoly,
+                         level_moduli: tuple) -> list:
+    """The expensive half of the hybrid key switch, separable from the key:
+    per digit group, take c2's group residues and FBC-extend them to the PQ
+    basis, NTT'd to eval form (EvalKeySwitchPrecomputeCore,
+    keyswitch-hybrid.cpp). The result can be consumed by ANY key with the
+    same group layout — the hoisting precompute of EvalFastRotation."""
+    lvl = tuple(level_moduli)
+    pq_params, groups, _ = _ks_level_view(ksk, lvl)
+    pq_mods = pq_params.moduli
+    c2c = c2.to_coeff()
+    dps = []
+    for (g0, g1) in groups:
+        src = ksk.q_moduli[g0:g1]
+        ext = fast_base_convert(c2c.rns[g0:g1], src, pq_mods)
+        dps.append(DCRTPoly(pq_params, ext, eval_form=False).to_eval())
+    return dps
+
+
 def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
-                          level_moduli: tuple) -> tuple[DCRTPoly, DCRTPoly]:
+                          level_moduli: tuple,
+                          precomp: list | None = None
+                          ) -> tuple[DCRTPoly, DCRTPoly]:
     """(delta0, delta1) over the working chain — digits taken per group from
     c2's own residues, FBC-extended to the full PQ basis, inner product with
-    the key towers, then ModDown by P. Everything stays in RNS.
+    the key towers, then ModDown by P. Everything stays in RNS. With
+    `precomp` (from ks_digits_precompute) the decompose/extend half is
+    skipped — the hoisted path.
 
     BGV keys (ksk.t > 1) use the t-exact ModDown: the subtracted correction
     is t*FBC([x*t^-1]_P) — congruent to x mod P and to 0 mod t — so the
@@ -205,30 +245,12 @@ def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
     PartQlHat design, keyswitch-hybrid.cpp) — no per-level key material
     needed."""
     lvl = tuple(level_moduli)
-    n_l = len(lvl)
-    assert ksk.q_moduli[:n_l] == lvl, \
-        "level chain must be a prefix of the key's chain"
-    full_q = len(ksk.q_moduli)
-    p_len = len(ksk.p_moduli)
-    if n_l == full_q:
-        pq_params = ksk.pq_params
-        groups = ksk.groups
-        row_idx = None
-    else:
-        pq_params = DCRTParams(N=ksk.pq_params.N,
-                               moduli=lvl + tuple(ksk.p_moduli))
-        groups = [(g0, min(g1, n_l)) for (g0, g1) in ksk.groups if g0 < n_l]
-        row_idx = np.array(list(range(n_l))
-                           + list(range(full_q, full_q + p_len)))
-    pq_mods = pq_params.moduli
-    c2c = c2.to_coeff()
-    N = c2c.params.N
+    pq_params, groups, row_idx = _ks_level_view(ksk, lvl)
+    if precomp is None:
+        precomp = ks_digits_precompute(ksk, c2, lvl)
+    N = pq_params.N
     acc0 = acc1 = None
-    for (g0, g1), b, a in zip(groups, ksk.bs, ksk.as_):
-        src = ksk.q_moduli[g0:g1]
-        digit_src = c2c.rns[g0:g1]
-        ext = fast_base_convert(digit_src, src, pq_mods)
-        dp = DCRTPoly(pq_params, ext, eval_form=False).to_eval()
+    for dp, b, a in zip(precomp, ksk.bs, ksk.as_):
         if row_idx is not None:
             b = DCRTPoly(pq_params, b.rns[row_idx], eval_form=True)
             a = DCRTPoly(pq_params, a.rns[row_idx], eval_form=True)
@@ -239,7 +261,7 @@ def rns_hybrid_key_switch(ksk: RnsHybridKey, c2: DCRTPoly,
     out = []
     new_lp = DCRTParams(N=N, moduli=lvl)
     p_mods = ksk.p_moduli
-    n_q = n_l
+    n_q = len(lvl)
     t = ksk.t
     for acc in (acc0, acc1):
         ac = acc.to_coeff()
@@ -265,6 +287,39 @@ def _prod(xs) -> int:
     for x in xs:
         r *= int(x)
     return r
+
+
+# -- hoisted rotations (EvalFastRotation) ------------------------------------
+
+@lru_cache(maxsize=None)
+def eval_auto_perm(N: int, k: int, modulus: int) -> np.ndarray:
+    """Index permutation pi with NTT(a(X^k)) = NTT(a)[pi] (mod `modulus`).
+
+    The negacyclic NTT evaluates at a fixed pattern of primitive 2N-th
+    roots; X -> X^k (k odd) permutes those evaluation points, so the
+    automorphism acts on EVAL-form rows as a pure gather. Derived
+    empirically from the transform of X (all evaluation values are distinct
+    roots, so value matching is exact) — robust to the transform's internal
+    ordering. This is what makes hoisting pay: the per-rotation work on a
+    precomputed digit is a permutation instead of an NTT."""
+    from ..ref import ntt as ref_ntt
+    from .encoding import apply_automorphism_coeff
+    x1 = np.zeros(N, dtype=np.uint64)
+    x1[1] = 1
+    e1 = ref_ntt.forward(x1[None], modulus)[0]
+    ek = ref_ntt.forward(
+        apply_automorphism_coeff(x1, k, modulus)[None], modulus)[0]
+    pos = {int(v): j for j, v in enumerate(e1)}
+    return np.array([pos[int(v)] for v in ek], dtype=np.int64)
+
+
+def _auto_eval(poly: DCRTPoly, k: int) -> DCRTPoly:
+    """Automorphism a(X) -> a(X^k) applied directly in EVAL form (one gather
+    per limb, no NTTs)."""
+    assert poly.eval_form
+    rows = np.stack([poly.rns[i][eval_auto_perm(poly.params.N, k, m)]
+                     for i, m in enumerate(poly.params.moduli)])
+    return DCRTPoly(poly.params, rows, eval_form=True)
 
 
 # -- RNS CKKS context -------------------------------------------------------
@@ -359,6 +414,47 @@ class CKKSRnsContext:
         key = gk[lp.L] if isinstance(gk, dict) else gk
         d0, d1 = rns_hybrid_key_switch(key, c1a, lp.moduli)
         return CKKSCiphertext([c0a + d0, d1], ct.scale, self.params)
+
+    def rotation_precompute(self, ct, key) -> list:
+        """EvalFastRotationPrecompute (keyswitch-hybrid.cpp
+        EvalKeySwitchPrecomputeCore / the HS18 hoisting trick): digit-
+        decompose + FBC-extend ct's c1 ONCE. The result serves every
+        rotation of `ct` whose Galois key shares `key`'s group layout
+        (all keys from one context do) — digit decomposition and base
+        extension are coefficient-wise, so they commute with the
+        automorphism, which acts on the precomputed EVAL towers as a pure
+        per-limb gather (eval_auto_perm)."""
+        lp = ct.polys[0].params
+        k = key[lp.L] if isinstance(key, dict) else key
+        return ks_digits_precompute(k, ct.polys[1], lp.moduli)
+
+    def eval_rotate_hoisted(self, ct, steps: int, gk, precomp: list):
+        """EvalFastRotation: slot rotation reusing a rotation_precompute.
+        Per-rotation cost is one gather per digit tower + the key inner
+        product + ModDown — no per-rotation inverse NTT, decompose, FBC, or
+        forward NTTs. Bit-identical to eval_rotate."""
+        from .ckks import CKKSCiphertext
+        from .encoding import rotation_automorphism_index
+        k = rotation_automorphism_index(self.params.N, steps)
+        lp = ct.polys[0].params
+        key = gk[lp.L] if isinstance(gk, dict) else gk
+        assert getattr(key, "galois_k", k) == k, \
+            "galois key does not match the requested rotation"
+        dps_k = [_auto_eval(dp, k) for dp in precomp]
+        d0, d1 = rns_hybrid_key_switch(key, None, lp.moduli, precomp=dps_k)
+        c0a = _auto_eval(ct.polys[0], k)
+        return CKKSCiphertext([c0a + d0, d1], ct.scale, self.params)
+
+    def eval_rotations(self, ct, steps_list, gks: dict) -> dict:
+        """Many rotations of ONE ciphertext from one hoisting precompute
+        (the EvalFastRotation pattern of EvalSum / BSGS transforms):
+        {steps: rotated ct}. `gks` maps steps -> Galois key."""
+        first = gks[steps_list[0]]
+        pre = self.rotation_precompute(
+            ct, first[ct.polys[0].params.L] if isinstance(first, dict)
+            else first)
+        return {s: self.eval_rotate_hoisted(ct, s, gks[s], pre)
+                for s in steps_list}
 
     def eval_add(self, a, b):
         from .ckks import CKKSCiphertext
