@@ -160,11 +160,18 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
 
     sel = None if key_rows is None else np.asarray(key_rows, dtype=np.int32)
 
-    def ks(c2c, kb, kb_sh, ka, ka_sh):
+    def precompute(c2c):
+        """Digit groups of coeff rows [L, ..., N], FBC-extended to PQ and
+        NTT'd — the key-independent (hoistable) half of the switch."""
+        return [ntt_pq.forward(fbcs[g](c2c[g0:g1]))
+                for g, (g0, g1) in enumerate(groups)]
+
+    def inner(dps, kb, kb_sh, ka, ka_sh):
+        """Inner product of precomputed eval digits with the key towers,
+        then ModDown — the per-key half."""
         acc0 = acc1 = None
-        for g, (g0, g1) in enumerate(groups):
-            ext = fbcs[g](c2c[g0:g1])
-            dp = ntt_pq.forward(ext)
+        for g in range(len(groups)):
+            dp = dps[g]
             kbg, kbshg, kag, kashg = (
                 (kb[g], kb_sh[g], ka[g], ka_sh[g]) if sel is None
                 else (kb[g][sel], kb_sh[g][sel], ka[g][sel], ka_sh[g][sel]))
@@ -178,6 +185,11 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
         d1 = moddown(ntt_pq.inverse(acc1))
         return d0, d1
 
+    def ks(c2c, kb, kb_sh, ka, ka_sh):
+        return inner(precompute(c2c), kb, kb_sh, ka, ka_sh)
+
+    ks.precompute = precompute
+    ks.inner = inner
     return ks
 
 
@@ -297,6 +309,49 @@ def build_rotate(N: int, lvl: tuple, p_moduli: tuple, groups: tuple, k: int,
         return ntt.forward(o0), ntt.forward(d1)
 
     return rot
+
+
+@functools.lru_cache(maxsize=None)
+def build_ks_precompute(N: int, lvl: tuple, p_moduli: tuple, groups: tuple):
+    """One jit: c1 eval towers [L, ..., N] -> stacked hoisting digits
+    [G, L_pq, ..., N] (eval form over PQ) — EvalFastRotationPrecompute on
+    the device. Key-independent; reusable by every rotation of the same
+    ciphertext."""
+    ntt = NTTL(N, tuple(lvl))
+    ks = _make_keyswitch(N, lvl, p_moduli, groups)
+
+    @jax.jit
+    def f(c1):
+        return jnp.stack(ks.precompute(ntt.inverse(c1)))
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def build_rotate_hoisted(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
+                         k: int, t: int = 1, key_rows: tuple | None = None):
+    """One jit: (c0, digits [G, L_pq, ..., N], key towers) -> rotated
+    (c0', c1') eval towers. The automorphism is applied ENTIRELY in the
+    evaluation domain as one static gather (the NTT-point permutation,
+    ckks_rns.eval_auto_perm — modulus-independent), so the per-rotation
+    cost is gathers + the key inner product + ModDown: no inverse NTT of
+    the ciphertext, no digit decompose, no FBC, no forward NTTs of digits
+    (EvalFastRotation, HS18 hoisting)."""
+    from .ckks_rns import eval_auto_perm
+    perm = jnp.asarray(eval_auto_perm(N, k, lvl[0]), dtype=jnp.int32)
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
+    ks = _make_keyswitch(N, lvl, p_moduli, groups, t, key_rows)
+    G = len(groups)
+
+    @jax.jit
+    def f(c0, dps, kb, kb_sh, ka, ka_sh):
+        dps_k = [jnp.take(dps[g], perm, axis=-1) for g in range(G)]
+        d0, d1 = ks.inner(dps_k, kb, kb_sh, ka, ka_sh)
+        c0a = jnp.take(c0, perm, axis=-1)           # eval-domain automorphism
+        return mv.addmod_v(c0a, ntt.forward(d0), lm), ntt.forward(d1)
+
+    return f
 
 
 @functools.lru_cache(maxsize=None)
@@ -605,6 +660,30 @@ class CKKSDeviceContext:
         fn = build_rotate(self.params.N, dct.moduli, key.p_moduli,
                           groups, k, 1, rows)
         c0, c1 = fn(dct.c0, dct.c1, key.kb, key.kb_sh, key.ka, key.ka_sh)
+        return DeviceCKKSCiphertext(c0, c1, dct.scale, dct.moduli)
+
+    def rotation_precompute(self, dct: DeviceCKKSCiphertext):
+        """EvalFastRotationPrecompute: hoisting digits of dct's c1, device-
+        resident [G, L_pq, ..., N]; serves every eval_rotate_hoisted of this
+        ciphertext (keys must share the context's group layout — they do)."""
+        some_key = next(iter(self._gk.values())) if self._gk else \
+            self._rlk[dct.level_len]
+        groups, _ = some_key.level_view(dct.level_len)
+        fn = build_ks_precompute(self.params.N, dct.moduli,
+                                 some_key.p_moduli, groups)
+        return fn(dct.c1)
+
+    def eval_rotate_hoisted(self, dct: DeviceCKKSCiphertext, steps: int,
+                            precomp) -> DeviceCKKSCiphertext:
+        """EvalFastRotation: rotation from a rotation_precompute — the
+        whole per-rotation graph is gathers + key inner product + ModDown
+        (bit-identical to eval_rotate; tests/test_fast_rotation_device.py)."""
+        key = self._gk[(steps, dct.level_len)]
+        groups, rows = key.level_view(dct.level_len)
+        k = rotation_automorphism_index(self.params.N, steps)
+        fn = build_rotate_hoisted(self.params.N, dct.moduli, key.p_moduli,
+                                  groups, k, 1, rows)
+        c0, c1 = fn(dct.c0, precomp, key.kb, key.kb_sh, key.ka, key.ka_sh)
         return DeviceCKKSCiphertext(c0, c1, dct.scale, dct.moduli)
 
     def eval_add(self, a: DeviceCKKSCiphertext,
