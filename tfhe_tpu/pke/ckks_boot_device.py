@@ -202,6 +202,25 @@ class CKKSDeviceEvaluator:
         c0, c1 = fn(ct.c0, ct.c1, key.kb, key.kb_sh, key.ka, key.ka_sh)
         return DeviceCKKSCiphertext(c0, c1, ct.scale, ct.moduli)
 
+    def _hoist_pre(self, ct):
+        """Hoisting digits of ct's c1 (EvalFastRotationPrecompute)."""
+        from .ckks_device import build_ks_precompute
+        key = next(iter(self._gk.values()))
+        groups, _ = key.level_view(len(ct.moduli))
+        return build_ks_precompute(self.params.N, ct.moduli,
+                                   key.p_moduli, groups)(ct.c1)
+
+    def auto_hoisted(self, ct, k: int, pre) -> DeviceCKKSCiphertext:
+        """X -> X^k from a _hoist_pre: gathers + key inner product +
+        ModDown only — no per-rotation decompose/FBC/digit NTTs."""
+        from .ckks_device import build_rotate_hoisted
+        key = self._gk[(k, len(ct.moduli))]
+        groups, rows = key.level_view(len(ct.moduli))
+        fn = build_rotate_hoisted(self.params.N, ct.moduli, key.p_moduli,
+                                  groups, k, 1, rows)
+        c0, c1 = fn(ct.c0, pre, key.kb, key.kb_sh, key.ka, key.ka_sh)
+        return DeviceCKKSCiphertext(c0, c1, ct.scale, ct.moduli)
+
     def conjugate(self, ct) -> DeviceCKKSCiphertext:
         return self.auto(ct, conj_element(self.params.N))
 
@@ -252,10 +271,14 @@ class CKKSDeviceEvaluator:
         b, g = _bsgs_split(s)
         ct_c = self.conjugate(ct)
         bab, bab_c = [ct], [ct_c]
+        if b > 1:
+            # baby rotations are b-1 rotations of the SAME two ciphertexts:
+            # hoist the digit decomposition once each (EvalFastRotation)
+            pre, pre_c = self._hoist_pre(ct), self._hoist_pre(ct_c)
         for k in range(1, b):
             a = galois_element(k, N)
-            bab.append(self.auto(ct, a))
-            bab_c.append(self.auto(ct_c, a))
+            bab.append(self.auto_hoisted(ct, a, pre))
+            bab_c.append(self.auto_hoisted(ct_c, a, pre_c))
         p0 = jnp.stack([x.c0 for x in bab], axis=1)     # [L, b, (B,) N]
         p1 = jnp.stack([x.c1 for x in bab], axis=1)
         c0s = jnp.stack([x.c0 for x in bab_c], axis=1)
