@@ -118,3 +118,28 @@ def test_bootstrap_bsgs_large_ring():
     fresh = cb.eval_bootstrap_bsgs(ctx, ct, pre, keys, rlk)
     err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
     assert fresh.level_params.L >= 3 and err < 2e-3
+
+
+def test_bootstrap_iterative_improves_precision(boot_ctx):
+    """EvalBootstrap(ct, numIterations=2, precision): the second iteration
+    bootstraps the scaled-up residual and subtracts it, shrinking the error
+    ~2^precision (ckksrns-fhe.cpp:229-303)."""
+    ctx, sk, pk, rlk, keys = boot_ctx
+    p = ctx.params
+    pre = cb.eval_bootstrap_setup(ctx, cheb_deg=22)
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    one = cb.eval_bootstrap_iterative(ctx, ct, pre, keys, rlk,
+                                      num_iterations=1)
+    two = cb.eval_bootstrap_iterative(ctx, ct, pre, keys, rlk,
+                                      num_iterations=2, precision=4)
+    err1 = np.abs(ctx.decrypt(sk, one).real - z).max()
+    err2 = np.abs(ctx.decrypt(sk, two).real - z).max()
+    assert err2 < err1 / 4, f"iterative gain too small: {err1} -> {err2}"
+    assert err2 < 5e-4
+    assert two.level_params.L >= 3, "second iteration must leave levels"
+    with pytest.raises(ValueError):
+        cb.eval_bootstrap_iterative(ctx, ct, pre, keys, rlk,
+                                    num_iterations=3)

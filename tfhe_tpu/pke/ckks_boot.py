@@ -162,10 +162,14 @@ def sub_ct(a: CKKSCiphertext, b: CKKSCiphertext) -> CKKSCiphertext:
 
 
 def mult_const(ctx: CKKSContext, ct: CKKSCiphertext, c: float,
-               rescale: bool = True) -> CKKSCiphertext:
-    """Multiply every slot by a real constant (integer-scaled, then rescale)."""
+               rescale: bool = True,
+               plain_scale: float | None = None) -> CKKSCiphertext:
+    """Multiply every slot by a real constant (integer-scaled, then rescale).
+    `plain_scale` overrides the constant's encoding scale — the
+    FLEXIBLEAUTO-style lever for landing the product at an exact target scale
+    (pass q_last * target / ct.scale)."""
     lp = ct.level_params
-    delta = ctx.params.scale
+    delta = ctx.params.scale if plain_scale is None else plain_scale
     k = int(round(c * delta))
     out = CKKSCiphertext([p.mul_scalar(k % lp.Q) for p in ct.polys],
                          ct.scale * delta, ct.params)
@@ -173,13 +177,16 @@ def mult_const(ctx: CKKSContext, ct: CKKSCiphertext, c: float,
 
 
 def mult_plain_vec(ctx: CKKSContext, ct: CKKSCiphertext, vec,
-                   rescale: bool = True) -> CKKSCiphertext:
-    """Slotwise multiply by a complex vector (encoded at scale Delta)."""
+                   rescale: bool = True,
+                   plain_scale: float | None = None) -> CKKSCiphertext:
+    """Slotwise multiply by a complex vector (encoded at scale Delta, or at
+    `plain_scale` to steer the product onto an exact scale)."""
     lp = ct.level_params
-    m = encode(ctx.params, vec, ctx.params.scale)
+    sc = ctx.params.scale if plain_scale is None else plain_scale
+    m = encode(ctx.params, vec, sc)
     dm = DCRTPoly.from_signed(lp, m, eval_form=True)
     out = CKKSCiphertext([p * dm for p in ct.polys],
-                         ct.scale * ctx.params.scale, ct.params)
+                         ct.scale * sc, ct.params)
     return ctx.rescale(out) if rescale else out
 
 
@@ -433,7 +440,9 @@ def eval_bootstrap_keygen_bsgs(ctx: CKKSContext, sk, dnum: int = 3,
 
 def eval_linear_transform_bsgs(ctx: CKKSContext, ct: CKKSCiphertext,
                                A: np.ndarray, B: np.ndarray,
-                               keys: dict) -> CKKSCiphertext:
+                               keys: dict,
+                               plain_scale: float | None = None
+                               ) -> CKKSCiphertext:
     """w = A z + B conj(z) by baby-step/giant-step diagonal decomposition.
 
     In the 5-orbit slot ordering sigma_r(z)_j = z_{j+r}, so
@@ -467,7 +476,8 @@ def eval_linear_transform_bsgs(ctx: CKKSContext, ct: CKKSCiphertext,
                 if not np.any(np.abs(d) > 1e-14):
                     continue
                 term = mult_plain_vec(ctx, src, np.roll(d, i * b),
-                                      rescale=False)
+                                      rescale=False,
+                                      plain_scale=plain_scale)
                 inner = term if inner is None else add_ct(inner, term)
         if inner is None:
             continue
@@ -590,6 +600,41 @@ def eval_mod_ps(ctx: CKKSContext, t: CKKSCiphertext, pre: BootstrapPrecom,
     return mult_const(ctx, w, pre.r / (2 * np.pi))
 
 
+def eval_bootstrap_iterative(ctx: CKKSContext, ct: CKKSCiphertext,
+                             pre: BootstrapPrecom, keys: dict, rlk,
+                             num_iterations: int = 2,
+                             precision: int = 4) -> CKKSCiphertext:
+    """Iterative (Meta-style) bootstrapping — EvalBootstrap(ct, numIterations,
+    precision), ckksrns-fhe.cpp:229-303. One bootstrap leaves error e1; the
+    residual is scaled up by 2^precision, bootstrapped on its own, and
+    subtracted back down, shrinking the final error by ~2^precision:
+
+      b1  = Boot(ct)                       ~ m + e1
+      err = 2^p * b1 (at the base modulus) - 2^p * ct        -> Delta*2^p*e1
+      b2  = Boot(err)                      ~ 2^p*e1 + e2
+      out = b1 - b2/2^p                    ~ m - e2/2^p
+
+    The scaled error 2^p*e1 must stay inside EvalMod's small-message range,
+    which bounds the useful precision (the reference asserts deg <= its
+    correction factor for the same reason)."""
+    if num_iterations not in (1, 2):
+        raise ValueError("CKKS iterative bootstrapping supports 1 or 2 "
+                         "iterations (ckksrns-fhe.cpp:240-242)")
+    b1 = eval_bootstrap_bsgs(ctx, ct, pre, keys, rlk)
+    if num_iterations == 1:
+        return b1
+    P = 1 << precision
+    # residual at the input's (base) modulus: multiples of q0 in the
+    # plaintext are exactly what the second bootstrap strips again
+    b1_down = _drop_to(scale_int(b1, P), ct.level_params)
+    err = sub_ct(b1_down, scale_int(ct, P))
+    b2 = eval_bootstrap_bsgs(ctx, err, pre, keys, rlk)
+    # 1/2^p at the scale that lands the correction on exactly b1's scale
+    q_last = b2.level_params.moduli[-1]
+    ps = float(q_last) * b1.scale / b2.scale
+    return sub_ct(b1, mult_const(ctx, b2, 1.0 / P, plain_scale=ps))
+
+
 def eval_bootstrap_bsgs(ctx: CKKSContext, ct: CKKSCiphertext,
                         pre: BootstrapPrecom, keys: dict,
                         rlk) -> CKKSCiphertext:
@@ -622,4 +667,10 @@ def eval_bootstrap_bsgs(ctx: CKKSContext, ct: CKKSCiphertext,
     m_im = eval_mod_ps(ctx, ct_im, pre, rlk)
     recomb = add_ct(m_re, mult_plain_vec(ctx, m_im, np.full(p.slots, 1j)))
 
-    return eval_linear_transform_bsgs(ctx, recomb, pre.stc_A, pre.stc_B, keys)
+    # encode the STC plaintexts at the scale that lands the output on
+    # exactly Delta (the rescale divisors q_l are only ~Delta, so without
+    # this the refreshed scale drifts ~1e-4 — FLEXIBLEAUTO's correction)
+    q_last = recomb.level_params.moduli[-1]
+    ps = float(q_last) * p.scale / recomb.scale
+    return eval_linear_transform_bsgs(ctx, recomb, pre.stc_A, pre.stc_B, keys,
+                                      plain_scale=ps)
