@@ -1,0 +1,138 @@
+"""FFT-factored (levelBudget) CoeffsToSlots/SlotsToCoeffs + sparse packing
+(pke/ckks_boot_fft.py) — the reference's EvalBootstrapSetup(levelBudget)
+/ EvalCoeffsToSlots / sparse EvalBootstrap configurations
+(ckksrns-fhe.cpp, ckksrns-utils.cpp GetCollapsedFFTParams)."""
+
+import numpy as np
+import pytest
+
+import tfhe_tpu.pke.ckks_boot as cb
+import tfhe_tpu.pke.ckks_boot_fft as cf
+from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams, decode, encode
+from tfhe_tpu.pke.dcrt import DCRTParams
+
+
+def test_pair_matrix_is_the_decode_map():
+    """z = E v with v_j = m_j + i m_{j+s}: matches the encoder exactly."""
+    N, s = 32, 16
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, 2, 40),
+                   scale=float(1 << 40))
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=s) + 1j * rng.normal(size=s)
+    m = encode(p, z, 1 << 20).astype(np.float64) / (1 << 20)
+    v = m[:s] + 1j * m[s:]
+    E = cf.pair_matrix(s)
+    assert np.abs(E @ v - z).max() < 1e-5
+
+
+@pytest.mark.parametrize("s", [4, 16, 64])
+@pytest.mark.parametrize("budget", [1, 2, 3])
+def test_stage_factorization(s, budget):
+    """Grouped forward stages o bitrev == E; grouped inverses == bitrev o
+    E^{-1} (float-exact)."""
+    E = cf.pair_matrix(s)
+    P = np.eye(s)[cf._bit_reverse(s)].astype(complex)
+    G = P.copy()
+    for g in cf.group_stages(cf.fft_stage_diags(s), s, budget):
+        G = cf.diag_to_dense(g.diags, s) @ G
+    assert np.abs(G - E).max() < 1e-9
+    Gi = np.eye(s, dtype=complex)
+    for g in cf.group_stages(list(reversed(cf.fft_stage_diags_inv(s))),
+                             s, budget):
+        Gi = cf.diag_to_dense(g.diags, s) @ Gi
+    assert np.abs(Gi - P @ np.linalg.inv(E)).max() < 1e-9
+
+
+def test_grouped_diag_count_tracks_budget():
+    """levelBudget dials rotations vs depth: more groups -> fewer diagonals
+    (rotations) per level."""
+    s = 64
+    one = cf.group_stages(cf.fft_stage_diags(s), s, 1)
+    three = cf.group_stages(cf.fft_stage_diags(s), s, 3)
+    assert len(one) == 1 and len(one[0].diags) == s
+    assert len(three) == 3 and max(len(g.diags) for g in three) <= 7
+
+
+@pytest.fixture(scope="module")
+def fft_ctx():
+    p = CKKSParams(N=32, dcrt=DCRTParams.create(32, 30, 40),
+                   scale=float(1 << 40))
+    ctx = CKKSContext(p, seed=13)
+    sk, pk = ctx.key_gen()
+    from tfhe_tpu.pke.keyswitch import relin_key_gen_hybrid
+    rlk = relin_key_gen_hybrid(ctx.rng, p.dcrt, sk[1], dnum=3)
+    return ctx, sk, pk, rlk
+
+
+def test_homomorphic_diag_transform(fft_ctx):
+    """One grouped factor evaluated homomorphically == its dense matrix."""
+    ctx, sk, pk, rlk = fft_ctx
+    s = ctx.params.slots
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(2, 2))
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=s) * 0.3 + 1j * rng.normal(size=s) * 0.3
+    ct = ctx.encrypt(pk, z)
+    g = pre.stc_groups[0]
+    got = ctx.decrypt(sk, cf.eval_diag_transform(ctx, ct, g, keys))
+    want = cf.diag_to_dense(g.diags, s) @ z
+    assert np.abs(got - want).max() < 1e-4
+
+
+@pytest.mark.parametrize("budget", [(1, 1), (2, 2), (4, 4)])
+def test_bootstrap_fft_full_packing(fft_ctx, budget):
+    """FFT-factored bootstrap refreshes with the same precision class as the
+    dense/BSGS path at every level budget."""
+    ctx, sk, pk, rlk = fft_ctx
+    p = ctx.params
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=budget)
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
+    assert fresh.level_params.L >= 3
+    assert fresh.scale == p.scale
+    err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
+    assert err < 2e-3, f"budget {budget}: {err}"
+
+
+def test_bootstrap_fft_sparse_packing(fft_ctx):
+    """Sparsely packed case (s' = 4 < N/2 = 16): PartialSum fold + size-s'
+    transforms; a replicated message is refreshed and stays replicated."""
+    ctx, sk, pk, rlk = fft_ctx
+    p = ctx.params
+    sp = 4
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(2, 2),
+                                      sparse_slots=sp)
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    rng = np.random.default_rng(9)
+    zs = rng.uniform(-0.01, 0.01, sp)
+    z = np.tile(zs, p.slots // sp)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
+    assert fresh.level_params.L >= 3
+    got = ctx.decrypt(sk, fresh).real
+    err = np.abs(got - z).max()
+    assert err < 2e-3, f"sparse refresh: {err}"
+    # sparse needs fewer keys than the full-packing transform set
+    pre_full = cf.eval_bootstrap_setup_fft(ctx, level_budget=(2, 2))
+    assert len(fft_key_count := cf.fft_key_indices(ctx, pre)) <= \
+        len(cf.fft_key_indices(ctx, pre_full)) + 2
+
+
+def test_fft_key_indices_cover_the_run(fft_ctx):
+    """The advertised index set is exactly what the pipeline uses (a run
+    with only those keys succeeds — FindBootstrapRotationIndices parity)."""
+    ctx, sk, pk, rlk = fft_ctx
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(3, 3))
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    z = np.linspace(-0.03, 0.03, ctx.params.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
+    assert np.abs(ctx.decrypt(sk, fresh).real - z).max() < 2e-3
