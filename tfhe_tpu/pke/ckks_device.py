@@ -436,6 +436,32 @@ def build_bsgs_inner(N: int, lvl: tuple, b: int):
 
 
 @functools.lru_cache(maxsize=None)
+def build_diag_inner(N: int, lvl: tuple, nb: int):
+    """C-linear variant of build_bsgs_inner for the FFT-factored transforms
+    (ckks_boot_fft.py): the grouped butterfly factors act on z alone — no
+    conjugated half — so one jit mod-sums baby stacks [L, nb, ..., N]
+    against their coeff-form diagonal plaintexts [L, nb, N]."""
+    lm = mv.LimbModuli(tuple(lvl))
+    ntt = NTTL(N, tuple(lvl))
+
+    @jax.jit
+    def f(p0, p1, pt):
+        pte = ntt.forward(pt)
+        pt_b = pte.reshape(pte.shape[:2] + (1,) * (p0.ndim - 3)
+                           + pte.shape[-1:]) if p0.ndim > 3 else pte
+        a0 = mv.barrett_mulmod_v(p0, pt_b, lm)
+        a1 = mv.barrett_mulmod_v(p1, pt_b, lm)
+        r0 = a0[:, 0]
+        r1 = a1[:, 0]
+        for k in range(1, nb):
+            r0 = mv.addmod_v(r0, a0[:, k], lm)
+            r1 = mv.addmod_v(r1, a1[:, k], lm)
+        return r0, r1
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def build_rescale_only(N: int, lvl: tuple):
     """One jit: towers [L, ..., N] -> [L-1, ..., N], RNS rescale by 1/q_last
     (standalone ModReduce)."""
