@@ -136,3 +136,20 @@ def test_fft_key_indices_cover_the_run(fft_ctx):
         ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
     fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
     assert np.abs(ctx.decrypt(sk, fresh).real - z).max() < 2e-3
+
+
+@pytest.mark.parametrize("budget", [(1, 1), (2, 2), (3, 3)])
+def test_bootstrap_depth_matches_run(fft_ctx, budget):
+    """bootstrap_depth (GetBootstrapDepth) == levels actually consumed."""
+    ctx, sk, pk, rlk = fft_ctx
+    p = ctx.params
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=budget)
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    z = np.linspace(-0.03, 0.03, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
+    consumed = p.dcrt.L - fresh.level_params.L
+    assert consumed == cf.bootstrap_depth(budget, cheb_deg=22,
+                                          double_angles=3)

@@ -223,6 +223,25 @@ def group_stages(stages: list[dict[int, np.ndarray]], s: int,
     return groups
 
 
+def bootstrap_depth(level_budget: tuple[int, int] = (1, 1),
+                    cheb_deg: int = 22, double_angles: int = 3) -> int:
+    """Multiplicative levels one bootstrap consumes — the chain-sizing
+    helper users call before picking mult_depth (FHECKKSRNS::
+    GetBootstrapDepth, ckksrns-fhe.cpp). Budgeted transforms cost one
+    level per group; EvalMod costs the Paterson-Stockmeyer tree depth
+    (ceil(log2 deg) + 1), the double-angle squarings, the re/im split
+    constant, the recombination, and the final r/(2 pi) scaling."""
+    # the deepest PS node is the top giant T_e, e = 2^floor(log2 deg),
+    # multiplied once by the quotient branch
+    ps_depth = int(np.floor(np.log2(max(2, cheb_deg)))) + 1
+    return (level_budget[0] + level_budget[1]
+            + 1                      # re/im split (x 0.5 / x -0.5i)
+            + ps_depth
+            + double_angles
+            + 1                      # r/(2 pi) rescale
+            + 1)                     # im recombination (x 1j)
+
+
 # -- homomorphic evaluation --------------------------------------------------
 
 def _rotate(ctx: CKKSContext, ct: CKKSCiphertext, r: int,
