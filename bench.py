@@ -338,6 +338,78 @@ def run_ckks(args) -> dict:
     }
 
 
+def run_ckksboot(args) -> dict:
+    """Batched on-device CKKS bootstrapping, FFT-factored transforms
+    (ms/ctx) — the most expensive pke op there is, CPU-only in the
+    reference (ckksrns-fhe.cpp) and absent from its GPU fork."""
+    import time as _t
+
+    import numpy as _np
+
+    import tfhe_tpu.pke.ckks_boot as _cb
+    import tfhe_tpu.pke.ckks_boot_fft as _cf
+    from tfhe_tpu.pke.ckks import CKKSContext, CKKSParams
+    from tfhe_tpu.pke.ckks_boot_fft_device import CKKSBootstrapFFTDevice
+    from tfhe_tpu.pke.ckks_rns import CKKSRnsContext
+    from tfhe_tpu.pke.dcrt import DCRTParams
+
+    N, B = (64, 2) if args.smoke else (1024, args.ckks_batch)
+    budget = (2, 2)
+    L = _cf.bootstrap_depth(budget, cheb_deg=22, double_angles=3) + 2
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, L, 28),
+                   scale=float(1 << 28))
+    ctx = CKKSContext(p, seed=20260818)
+    t0 = _t.time()
+    sk, pk = ctx.key_gen()
+    rctx = CKKSRnsContext(ctx, dnum=3, ks_limb_bits=28)
+    pre = _cf.eval_bootstrap_setup_fft(ctx, level_budget=budget)
+    bd = CKKSBootstrapFFTDevice(rctx, pre)
+    bd.keygen(sk)
+    t_keygen = _t.time() - t0
+    nkeys = len(_cf.fft_key_indices(ctx, pre))
+    log(f"[ckksboot] N={N} L={L} batch={B} budget={budget} "
+        f"galois_keys={nkeys}; keygen {t_keygen:.1f}s")
+
+    rng = _np.random.default_rng(5)
+    zs = [rng.uniform(-0.04, 0.04, p.slots) for _ in range(B)]
+    cts = []
+    for z in zs:
+        ct = ctx.encrypt(pk, z)
+        while ct.level_params.L > 1:
+            ct = ctx.rescale(_cb.mult_const(ctx, ct, 1.0, rescale=False))
+        cts.append(ct)
+
+    t0 = _t.time()
+    fresh = bd.bootstrap_batch(cts)
+    t_compile = _t.time() - t0
+    errs = [float(_np.abs(ctx.decrypt(sk, f).real - z).max())
+            for z, f in zip(zs, fresh)]
+    if max(errs) > 2e-2:
+        raise RuntimeError(f"device bootstrap wrong: err={max(errs)}")
+    log(f"[ckksboot] first batch (compile + run + verify): {t_compile:.1f}s; "
+        f"max err {max(errs):.2e}")
+
+    def step():
+        bd.bootstrap_batch(cts)
+
+    med, times = _median_timed(step, max(2, args.func_iters - 1),
+                               discard=1)
+    ms_ctx = med / B * 1e3
+    log(f"[ckksboot] {ms_ctx:.1f} ms/ctx (batch {B}); "
+        f"times {[f'{t:.2f}' for t in times]}")
+    return {
+        "value": round(ms_ctx, 2),
+        "unit": "ms/ctx (device CKKS bootstrap, FFT-factored, batched)",
+        "N": N, "L": L, "batch": B, "level_budget": list(budget),
+        "galois_keys": nkeys,
+        "max_err": round(max(errs), 6),
+        "iter_times_s": [round(t, 2) for t in times],
+        "keygen_s": round(t_keygen, 1),
+        "first_run_s": round(t_compile, 1),
+        "verified": True,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384,
@@ -349,7 +421,7 @@ def main():
     ap.add_argument("--func-iters", type=int, default=3)
     ap.add_argument("--sign-iters", type=int, default=2,
                     help="iterations for the multi-round sign/decomp ops")
-    ap.add_argument("--ops", default="gate,func,floor,sign,decomp,ckks")
+    ap.add_argument("--ops", default="gate,func,floor,sign,decomp,ckks,ckksboot")
     ap.add_argument("--ckks-batch", type=int, default=8)
     ap.add_argument("--budget", type=float, default=5400.0,
                     help="wall-clock budget (s); remaining ops are skipped")
@@ -379,7 +451,8 @@ def main():
 
     ops = ["gate"] if args.smoke else [o for o in args.ops.split(",") if o]
     runners = {"gate": run_gate, "func": run_func, "floor": run_floor,
-               "sign": run_sign, "decomp": run_decomp, "ckks": run_ckks}
+               "sign": run_sign, "decomp": run_decomp, "ckks": run_ckks,
+               "ckksboot": run_ckksboot}
     results: dict[str, dict] = {}
     for op in ops:
         elapsed = time.time() - T_START

@@ -43,4 +43,11 @@ if probe; then
     echo "tune_rns rc=$?"
 fi
 
+# 5. device pke + FFT-factored CKKS bootstrap (budget/sparse/iterative tour)
+if probe; then
+    timeout 3600 python examples/ckks_bootstrapping.py --device \
+        > "$OUT/ckks_boot.log" 2>&1
+    echo "ckks_boot rc=$?"
+fi
+
 echo "done; update STATUS.md with the numbers in $OUT"

@@ -153,3 +153,62 @@ def test_bootstrap_depth_matches_run(fft_ctx, budget):
     consumed = p.dcrt.L - fresh.level_params.L
     assert consumed == cf.bootstrap_depth(budget, cheb_deg=22,
                                           double_angles=3)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("TFHE_SLOW"),
+                    reason="large-ring bootstrap (minutes); set TFHE_SLOW=1")
+def test_bootstrap_fft_large_ring():
+    """N = 2^13 with levelBudget (3,3): ~2^5 diagonals per level instead of
+    the dense transform's 4096 — the configuration class the reference
+    ships for production rings."""
+    N = 1 << 13
+    depth = cf.bootstrap_depth((3, 3), cheb_deg=22, double_angles=3)
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, depth + 3, 40),
+                   scale=float(1 << 40))
+    ctx = CKKSContext(p, seed=17)
+    sk, pk = ctx.key_gen()
+    from tfhe_tpu.pke.keyswitch import relin_key_gen_hybrid
+    rlk = relin_key_gen_hybrid(ctx.rng, p.dcrt, sk[1], dnum=3)
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(3, 3))
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
+    err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
+    assert fresh.level_params.L >= 3 and err < 2e-3
+
+
+def test_sparse_ternary_secret_bootstrap():
+    """SPARSE_TERNARY secrets (base-pke.cpp:67-70): hamming-weight-limited
+    keygen works end to end, and the small ||s||_1 admits the small-K
+    EvalMod configuration the reference reserves for sparse secrets
+    (K_SPARSE vs K_UNIFORM, ckksrns-fhe.cpp:144-151)."""
+    p = CKKSParams(N=32, dcrt=DCRTParams.create(32, 30, 40),
+                   scale=float(1 << 40))
+    ctx = CKKSContext(p, seed=29)
+    sk, pk = ctx.key_gen(secret_dist="sparse", hamming_weight=8)
+    assert int(np.count_nonzero(sk[1])) == 8
+    from tfhe_tpu.pke.keyswitch import relin_key_gen_hybrid
+    rlk = relin_key_gen_hybrid(ctx.rng, p.dcrt, sk[1], dnum=3)
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(2, 2), K=4.0,
+                                      cheb_deg=18)
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
+    err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
+    assert err < 2e-3, f"sparse-secret refresh: {err}"
+
+
+def test_gaussian_secret_roundtrip():
+    """GAUSSIAN SecretKeyDist: encrypt/decrypt round-trips."""
+    p = CKKSParams(N=32, dcrt=DCRTParams.create(32, 3, 40),
+                   scale=float(1 << 40))
+    ctx = CKKSContext(p, seed=31)
+    sk, pk = ctx.key_gen(secret_dist="gaussian")
+    z = np.linspace(-0.4, 0.4, p.slots)
+    assert np.abs(ctx.decrypt(sk, ctx.encrypt(pk, z)).real - z).max() < 1e-6

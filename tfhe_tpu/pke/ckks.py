@@ -128,9 +128,25 @@ class CKKSContext:
         v = self.rng.ternary_uniform_signed(self.params.N)
         return DCRTPoly.from_signed(dcrt, v, eval_form=True), v
 
-    def key_gen(self):
+    def key_gen(self, secret_dist: str = "uniform",
+                hamming_weight: int = 64):
+        """Key pair with the chosen SecretKeyDist (base-pke.cpp:60-73):
+        'uniform' = uniform ternary, 'sparse' = ternary with the given
+        hamming weight (SPARSE_TERNARY, h = 64 there — enables the
+        small-K bootstrap configuration), 'gaussian' = discrete Gaussian."""
         d = self.params.dcrt
-        s, s_signed = self._ternary(d)
+        if secret_dist == "uniform":
+            s, s_signed = self._ternary(d)
+        elif secret_dist == "sparse":
+            v = self.rng.ternary_uniform_signed(
+                self.params.N, hamming_weight=hamming_weight)
+            s, s_signed = DCRTPoly.from_signed(d, v, eval_form=True), v
+        elif secret_dist == "gaussian":
+            v = self.rng.discrete_gaussian_signed(self.params.N,
+                                                  self.params.std)
+            s, s_signed = DCRTPoly.from_signed(d, v, eval_form=True), v
+        else:
+            raise ValueError(f"unknown secret_dist {secret_dist!r}")
         a = self._uniform(d)
         e = self._gaussian(d)
         return (s, s_signed), (-(a * s + e), a)

@@ -157,11 +157,32 @@ class BinFHERng:
             out[i] = ((int(hi[i]) << 64) | int(lo[i])) % modulus
         return out
 
-    def ternary_uniform_signed(self, size: int) -> np.ndarray:
-        """Ternary secret in {-1, 0, 1} (stored signed; embed mod m on demand)."""
+    def ternary_uniform_signed(self, size: int,
+                               hamming_weight: int | None = None
+                               ) -> np.ndarray:
+        """Ternary secret in {-1, 0, 1} (stored signed; embed mod m on
+        demand). With `hamming_weight` h, exactly h coordinates are nonzero
+        (+-1 uniformly) — the reference's sparse variant
+        (ternaryuniformgenerator.h GenerateVector(size, modulus, h);
+        SPARSE_TERNARY uses h = 64, base-pke.cpp:67-70)."""
+        if hamming_weight is None:
+            if self._rng is not None:
+                return self._rng.integers(-1, 2, size=size).astype(np.int64)
+            return self._uniform_below(size, 3).astype(np.int64) - 1
+        h = int(hamming_weight)
+        if not 0 < h <= size:
+            raise ValueError(f"hamming weight {h} not in (0, {size}]")
+        out = np.zeros(size, dtype=np.int64)
+        # engine-deterministic support selection: order positions by an
+        # engine uniform draw, take the first h
         if self._rng is not None:
-            return self._rng.integers(-1, 2, size=size).astype(np.int64)
-        return self._uniform_below(size, 3).astype(np.int64) - 1
+            pos = self._rng.permutation(size)[:h]
+            signs = self._rng.integers(0, 2, size=h) * 2 - 1
+        else:
+            pos = np.argsort(self.random(size))[:h]
+            signs = self._uniform_below(h, 2).astype(np.int64) * 2 - 1
+        out[pos] = signs
+        return out
 
 
 def _to_residues(signed_vals: np.ndarray, modulus: int) -> np.ndarray:
