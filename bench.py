@@ -355,14 +355,20 @@ def run_ckksboot(args) -> dict:
 
     N, B = (64, 2) if args.smoke else (1024, args.ckks_batch)
     budget = (2, 2)
-    L = _cf.bootstrap_depth(budget, cheb_deg=22, double_angles=3) + 2
+    # sparse secret + K_SPARSE-class EvalMod: with a uniform ternary secret
+    # the ModRaise overflow |I| reaches ~25 at N=1024, far past any
+    # affordable K (ckksrns-fhe.cpp:144-151 keys the constants off
+    # SPARSE_TERNARY for the same reason)
+    K, deg, hw = (28.0, 44, 16 if args.smoke else 64)
+    L = _cf.bootstrap_depth(budget, cheb_deg=deg, double_angles=3) + 2
     p = CKKSParams(N=N, dcrt=DCRTParams.create(N, L, 28),
                    scale=float(1 << 28))
     ctx = CKKSContext(p, seed=20260818)
     t0 = _t.time()
-    sk, pk = ctx.key_gen()
+    sk, pk = ctx.key_gen(secret_dist="sparse", hamming_weight=hw)
     rctx = CKKSRnsContext(ctx, dnum=3, ks_limb_bits=28)
-    pre = _cf.eval_bootstrap_setup_fft(ctx, level_budget=budget)
+    pre = _cf.eval_bootstrap_setup_fft(ctx, level_budget=budget, K=K,
+                                       cheb_deg=deg)
     bd = CKKSBootstrapFFTDevice(rctx, pre)
     bd.keygen(sk)
     t_keygen = _t.time() - t0

@@ -102,15 +102,21 @@ def test_bootstrap_bsgs_large_ring():
     """N = 2^13: the scale the dense transform cannot reach (it would need
     4096 Galois keys and 4096 rotations; BSGS needs 128)."""
     N = 1 << 13
-    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, 24, 40),
-                   scale=float(1 << 40))
+    # 59-bit limbs (the reference's bootstrap modulus class): SlotsToCoeffs
+    # amplifies the EvalMod slot error by ~sqrt(slots)
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, 24, 59),
+                   scale=float(1 << 59))
     ctx = CKKSContext(p, seed=9)
-    sk, pk = ctx.key_gen()
+    # production rings need the sparse-secret configuration: with a uniform
+    # ternary secret the ModRaise overflow |I| reaches ~4 sigma ~ 80 at
+    # N=2^13, far past any practical K; SPARSE_TERNARY (hw 64) keeps
+    # |I| <~ 10 and K_SPARSE = 28 covers it (ckksrns-fhe.cpp:144-151)
+    sk, pk = ctx.key_gen(secret_dist="sparse")
     from tfhe_tpu.pke.keyswitch import relin_key_gen_hybrid
     rlk = relin_key_gen_hybrid(ctx.rng, p.dcrt, sk[1], dnum=3)
     keys = cb.eval_bootstrap_keygen_bsgs(ctx, sk, dnum=3)
     assert len(keys) <= 2 * int(np.ceil(np.sqrt(p.slots))) + 1
-    pre = cb.eval_bootstrap_setup(ctx, cheb_deg=22)
+    pre = cb.eval_bootstrap_setup(ctx, K=28.0, cheb_deg=44)
     z = np.linspace(-0.04, 0.04, p.slots)
     ct = ctx.encrypt(pk, z)
     while ct.level_params.L > 1:

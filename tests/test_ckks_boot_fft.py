@@ -120,7 +120,7 @@ def test_bootstrap_fft_sparse_packing(fft_ctx):
     assert err < 2e-3, f"sparse refresh: {err}"
     # sparse needs fewer keys than the full-packing transform set
     pre_full = cf.eval_bootstrap_setup_fft(ctx, level_budget=(2, 2))
-    assert len(fft_key_count := cf.fft_key_indices(ctx, pre)) <= \
+    assert len(cf.fft_key_indices(ctx, pre)) <= \
         len(cf.fft_key_indices(ctx, pre_full)) + 2
 
 
@@ -162,14 +162,23 @@ def test_bootstrap_fft_large_ring():
     the dense transform's 4096 — the configuration class the reference
     ships for production rings."""
     N = 1 << 13
-    depth = cf.bootstrap_depth((3, 3), cheb_deg=22, double_angles=3)
-    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, depth + 3, 40),
-                   scale=float(1 << 40))
+    depth = cf.bootstrap_depth((3, 3), cheb_deg=44, double_angles=3)
+    # 59-bit limbs: the reference's bootstrap modulus class (dcrtBits=59 in
+    # simple-ckks-bootstrapping.cpp) — SlotsToCoeffs amplifies the EvalMod
+    # slot error by ~sqrt(slots), so the per-op noise floor must be far
+    # below the precision target at s = 4096
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, depth + 3, 59),
+                   scale=float(1 << 59))
     ctx = CKKSContext(p, seed=17)
-    sk, pk = ctx.key_gen()
+    # sparse secret + K_SPARSE-class EvalMod: at N=2^13 a uniform ternary
+    # secret drives the ModRaise overflow |I| to ~80 >> K; hw-64 keeps it
+    # <~ 10 (ckksrns-fhe.cpp:144-151 and the sparse-secret advanced
+    # bootstrapping example)
+    sk, pk = ctx.key_gen(secret_dist="sparse")
     from tfhe_tpu.pke.keyswitch import relin_key_gen_hybrid
     rlk = relin_key_gen_hybrid(ctx.rng, p.dcrt, sk[1], dnum=3)
-    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(3, 3))
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(3, 3), K=28.0,
+                                      cheb_deg=44)
     keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
     z = np.linspace(-0.04, 0.04, p.slots)
     ct = ctx.encrypt(pk, z)
@@ -212,3 +221,26 @@ def test_gaussian_secret_roundtrip():
     sk, pk = ctx.key_gen(secret_dist="gaussian")
     z = np.linspace(-0.4, 0.4, p.slots)
     assert np.abs(ctx.decrypt(sk, ctx.encrypt(pk, z)).real - z).max() < 1e-6
+
+
+def test_bootstrap_depth_clamps_to_stage_count(fft_ctx):
+    """With sparse_slots=4 only 2 stages exist; budgets above log2(s') are
+    clamped by group_stages, and bootstrap_depth(slots=...) agrees."""
+    ctx, sk, pk, rlk = fft_ctx
+    sp = 4
+    pre = cf.eval_bootstrap_setup_fft(ctx, level_budget=(3, 3),
+                                      sparse_slots=sp)
+    assert len(pre.cts_groups) == 2 and len(pre.stc_groups) == 2
+    keys = cf.eval_bootstrap_keygen_fft(ctx, sk, pre, dnum=3)
+    z = np.tile(np.array([0.01, -0.01, 0.005, 0.008]),
+                ctx.params.slots // sp)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(ctx, ct, pre, keys, rlk)
+    consumed = ctx.params.dcrt.L - fresh.level_params.L
+    assert consumed == cf.bootstrap_depth((3, 3), cheb_deg=22,
+                                          double_angles=3, slots=sp)
+    with pytest.raises(ValueError):
+        cb.eval_bootstrap_iterative(ctx, ct, None, None, None,
+                                    num_iterations=2, precision=12)

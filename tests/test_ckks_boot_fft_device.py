@@ -82,3 +82,24 @@ def test_device_sparse_fft_bootstrap(boot):
     fresh = bd.bootstrap(ct)
     err = np.abs(ctx.decrypt(sk, fresh).real - z).max()
     assert fresh.level_params.L >= 3 and err < 6e-3
+
+
+def test_device_iterative_bootstrap(boot):
+    """2-iteration bootstrapping with BOTH bootstraps on device: residual
+    scaled by 2^precision, re-bootstrapped, subtracted — error shrinks
+    accordingly (EvalBootstrap(ct, 2, precision), never off-CPU in the
+    reference)."""
+    ctx, sk, pk, bd = boot
+    p = ctx.params
+    z = np.linspace(-0.04, 0.04, p.slots)
+    ct = ctx.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = ctx.rescale(cb.mult_const(ctx, ct, 1.0, rescale=False))
+    one = bd.bootstrap_batch([ct], target_scale=float(ct.scale))[0]
+    err1 = np.abs(ctx.decrypt(sk, one).real - z).max()
+    two = bd.bootstrap_iterative_batch([ct], precision=4)[0]
+    err2 = np.abs(ctx.decrypt(sk, two).real - z).max()
+    assert err2 < err1 / 3, f"device iterative gain too small: {err1} -> {err2}"
+    assert err2 < 2e-3
+    with pytest.raises(ValueError):
+        bd.bootstrap_iterative_batch([ct], precision=12)

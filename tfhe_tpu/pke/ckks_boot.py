@@ -196,6 +196,23 @@ def mult_ct(ctx: CKKSContext, a: CKKSCiphertext, b: CKKSCiphertext,
     return ctx.eval_mult(a2, b2, rlk=rlk, rescale=True)
 
 
+def mod_raise(ctx: CKKSContext, ct: CKKSCiphertext) -> CKKSCiphertext:
+    """ModRaise: re-embed the exhausted (level-1) ciphertext's centered
+    coefficients into the full chain. The plaintext becomes
+    Delta*m + q0*I with small integer I (EvalBootstrap "RAISING THE
+    MODULUS", ckksrns-fhe.cpp) — shared by every bootstrap driver."""
+    p = ctx.params
+    full = p.dcrt
+    assert ct.level_params.L == 1, "bootstrap expects a level-1 ciphertext"
+    assert len(ct.polys) == 2
+    raised = []
+    for poly in ct.polys:
+        c = poly.to_centered_bigint()
+        raised.append(DCRTPoly.from_bigint(
+            full, [x % full.Q for x in c]).to_eval())
+    return CKKSCiphertext(raised, ct.scale, p)
+
+
 # -- bootstrap precomputation ----------------------------------------------
 
 @dataclass
@@ -364,19 +381,9 @@ def eval_bootstrap(ctx: CKKSContext, ct: CKKSCiphertext, pre: BootstrapPrecom,
     """Refresh a depth-exhausted ciphertext back to (nearly) the full chain
     (EvalBootstrap, ckksrns-fhe.cpp)."""
     p = ctx.params
-    lp = ct.level_params
-    assert lp.L == 1, "bootstrap expects a ciphertext at the last level"
-    assert len(ct.polys) == 2
 
-    # 1. ModRaise: centered coefficients mod q0, re-embedded in the full chain
-    full = p.dcrt
-    raised = []
-    for poly in ct.polys:
-        c = poly.to_centered_bigint()
-        raised.append(DCRTPoly.from_bigint(
-            full, [x % full.Q for x in c]).to_eval())
-    # plaintext is now Delta*m + q0*I  ->  CKKS value m + r*I at scale Delta
-    ct1 = CKKSCiphertext(raised, ct.scale, p)
+    # 1. ModRaise: plaintext becomes Delta*m + q0*I -> value m + r*I
+    ct1 = mod_raise(ctx, ct)
 
     # 2. CoeffsToSlots, with the EvalMod normalization 1/(K*r) folded into
     #    the transform matrices (slots w_k = (coeff_k + i coeff_{k+s})/(K*r))
@@ -620,6 +627,13 @@ def eval_bootstrap_iterative(ctx: CKKSContext, ct: CKKSCiphertext,
     if num_iterations not in (1, 2):
         raise ValueError("CKKS iterative bootstrapping supports 1 or 2 "
                          "iterations (ckksrns-fhe.cpp:240-242)")
+    if not 1 <= precision <= 8:
+        # 2^precision * e1 must stay inside EvalMod's small-message range;
+        # past ~2^8 the scaled residual leaves the sine's linear regime and
+        # the correction silently corrupts the output (the reference bounds
+        # precision by its correction factor for the same reason)
+        raise ValueError(f"precision {precision} out of the supported "
+                         "range [1, 8]")
     b1 = eval_bootstrap_bsgs(ctx, ct, pre, keys, rlk)
     if num_iterations == 1:
         return b1
@@ -643,17 +657,7 @@ def eval_bootstrap_bsgs(ctx: CKKSContext, ct: CKKSCiphertext,
     EvalMod (O(sqrt(deg)) mults, O(log deg) depth) — the configuration the
     reference ships for large rings (ckksrns-fhe.cpp + EvalChebyshevSeriesPS)."""
     p = ctx.params
-    lp = ct.level_params
-    assert lp.L == 1, "bootstrap expects a ciphertext at the last level"
-    assert len(ct.polys) == 2
-
-    full = p.dcrt
-    raised = []
-    for poly in ct.polys:
-        c = poly.to_centered_bigint()
-        raised.append(DCRTPoly.from_bigint(
-            full, [x % full.Q for x in c]).to_eval())
-    ct1 = CKKSCiphertext(raised, ct.scale, p)
+    ct1 = mod_raise(ctx, ct)
 
     norm = 1.0 / (pre.K * pre.r)
     ct_slots = eval_linear_transform_bsgs(ctx, ct1, pre.cts_A * norm,

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from .ckks import encode
 from .ckks_boot import (BootstrapPrecom, _bsgs_split, _cheb_divmod_T,
-                        bsgs_key_indices, conj_element, galois_element)
+                        bsgs_key_indices, conj_element, galois_element,
+                        mod_raise)
 from .ckks_device import (CKKSDeviceContext, DeviceCKKSCiphertext,
                           _PackedKey, build_add, build_add_scalar,
                           build_mult_plain, build_mult_relin_rescale,
@@ -408,16 +409,12 @@ class CKKSBootstrapDevice(CKKSDeviceEvaluator):
                    for c in cts)
         raised_cts = []
         for ct in cts:
-            raised = []
-            for poly in ct.polys:
-                c = poly.to_centered_bigint()
-                raised.append(DCRTPoly.from_bigint(
-                    full, [x % full.Q for x in c]).to_eval())
+            r = mod_raise(self.ctx, ct)
             # Claim the canonical top scale; the input's true (drifted)
             # scale s* is folded into the final transform below — mixing
             # s*-typed (ct x ct squares it) and sf-typed (constants) paths
             # would desync the canonical tracking.
-            raised_cts.append(CKKSCiphertext(raised, self.sf[full.L], p))
+            raised_cts.append(CKKSCiphertext(r.polys, self.sf[full.L], p))
         corr = cts[0].scale / self.sf[full.L]
         dct = self.dctx.upload_batch(raised_cts)
 

@@ -56,8 +56,7 @@ from .ckks import CKKSCiphertext, CKKSContext
 from .ckks_boot import (BootstrapPrecom, add_ct, conj_element,
                         eval_automorphism, eval_bootstrap_setup,
                         eval_conjugate, eval_mod_ps, galois_element,
-                        mult_const, mult_plain_vec, sub_ct)
-from .dcrt import DCRTPoly
+                        mod_raise, mult_const, mult_plain_vec, sub_ct)
 
 
 # -- stage construction (diagonal form) -------------------------------------
@@ -224,17 +223,25 @@ def group_stages(stages: list[dict[int, np.ndarray]], s: int,
 
 
 def bootstrap_depth(level_budget: tuple[int, int] = (1, 1),
-                    cheb_deg: int = 22, double_angles: int = 3) -> int:
+                    cheb_deg: int = 22, double_angles: int = 3,
+                    slots: int | None = None) -> int:
     """Multiplicative levels one bootstrap consumes — the chain-sizing
     helper users call before picking mult_depth (FHECKKSRNS::
     GetBootstrapDepth, ckksrns-fhe.cpp). Budgeted transforms cost one
     level per group; EvalMod costs the Paterson-Stockmeyer tree depth
     (ceil(log2 deg) + 1), the double-angle squarings, the re/im split
-    constant, the recombination, and the final r/(2 pi) scaling."""
+    constant, the recombination, and the final r/(2 pi) scaling.
+    Pass `slots` (the transform size; the sparse s' when sparsely packed)
+    to clamp each budget to its log2(slots) stage count, matching what
+    group_stages actually builds."""
+    lb = list(level_budget)
+    if slots is not None:
+        n_stages = max(1, slots.bit_length() - 1)
+        lb = [min(b, n_stages) for b in lb]
     # the deepest PS node is the top giant T_e, e = 2^floor(log2 deg),
     # multiplied once by the quotient branch
     ps_depth = int(np.floor(np.log2(max(2, cheb_deg)))) + 1
-    return (level_budget[0] + level_budget[1]
+    return (lb[0] + lb[1]
             + 1                      # re/im split (x 0.5 / x -0.5i)
             + ps_depth
             + double_angles
@@ -362,17 +369,7 @@ def eval_bootstrap_fft(ctx: CKKSContext, ct: CKKSCiphertext,
     packed and the sparsely packed (slots = s' < N/2, message replicated
     with period s') cases."""
     p = ctx.params
-    lp = ct.level_params
-    assert lp.L == 1, "bootstrap expects a ciphertext at the last level"
-    assert len(ct.polys) == 2
-
-    full = p.dcrt
-    raised = []
-    for poly in ct.polys:
-        c = poly.to_centered_bigint()
-        raised.append(DCRTPoly.from_bigint(
-            full, [x % full.Q for x in c]).to_eval())
-    ct1 = CKKSCiphertext(raised, ct.scale, p)
+    ct1 = mod_raise(ctx, ct)
 
     sp = pre.sparse_slots
     F = p.slots // sp

@@ -21,12 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from .ckks import encode
-from .ckks_boot import galois_element
+from .ckks_boot import galois_element, mod_raise
 from .ckks_boot_fft import BootstrapFFTPrecom, DiagMatrix, fft_key_indices
 from .ckks_boot_device import CKKSDeviceEvaluator
 from .ckks_device import DeviceCKKSCiphertext, build_diag_inner
 from .ckks_rns import CKKSRnsContext
-from .dcrt import DCRTPoly
 
 
 class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
@@ -45,17 +44,19 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
     # -- one grouped factor --------------------------------------------------
 
     def _diag_row_pt(self, tag, g: DiagMatrix, gg: int, n_l: int,
-                     scale_mul: float):
+                     scale_mul: float, plain_scale: float | None = None):
         """Stacked coeff-form plaintexts [L, nb, N] for giant row gg:
         row k holds roll(tile(diag), gg) for the plan entries whose baby is
-        g.babies[k]; zeros elsewhere. Cached per (tag, giant, level)."""
+        g.babies[k]; zeros elsewhere. Cached per (tag, giant, level).
+        `plain_scale` overrides the canonical sf encoding — the exact-scale
+        landing lever (see diag_transform)."""
         ck = None if tag is None else (tag, gg, n_l)
         if ck is not None and ck in self._pt_cache:
             return self._pt_cache[ck]
         reps = self.params.slots // g.s
         nb = len(g.babies)
         bpos = {r: k for k, r in enumerate(g.babies)}
-        s_c = self.sf[n_l]
+        s_c = self.sf[n_l] if plain_scale is None else plain_scale
         moduli = self.params.dcrt.moduli[:n_l]
         pt = np.zeros((n_l, nb, self.params.N), dtype=np.uint32)
         for off, gi, r in g.plan:
@@ -72,9 +73,14 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
         return pt
 
     def diag_transform(self, ct, g: DiagMatrix, tag=None,
-                       scale_mul: float = 1.0) -> DeviceCKKSCiphertext:
+                       scale_mul: float = 1.0,
+                       target_scale: float | None = None
+                       ) -> DeviceCKKSCiphertext:
         """out = M ct for one grouped factor (one rescale level): hoisted
-        baby rotations, one fused diagonal-sum jit per giant row."""
+        baby rotations, one fused diagonal-sum jit per giant row. With
+        `target_scale`, the plaintexts encode at q_last*target/ct.scale so
+        the output lands on EXACTLY that scale (instead of the canonical
+        sf) — required by the iterative bootstrap's residual subtraction."""
         N = self.params.N
         bab = {}
         nontrivial = [r for r in g.babies if r % self.params.slots]
@@ -87,10 +93,13 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
         p1 = jnp.stack([bab[r].c1 for r in g.babies], axis=1)
         n_l = len(ct.moduli)
         fused = build_diag_inner(N, ct.moduli, len(g.babies))
-        s_c = self.sf[n_l]
+        ps = None if target_scale is None else \
+            float(ct.moduli[-1]) * target_scale / ct.scale
+        s_c = self.sf[n_l] if ps is None else ps
         acc = None
         for gg in sorted({p[1] for p in g.plan}):
-            pt = self._diag_row_pt(tag, g, gg, n_l, scale_mul)
+            pt = self._diag_row_pt(tag, g, gg, n_l, scale_mul,
+                                   plain_scale=ps)
             r0, r1 = fused(p0, p1, pt)
             inner = DeviceCKKSCiphertext(r0, r1, ct.scale * s_c, ct.moduli)
             inner = self.rescale(inner)
@@ -113,7 +122,31 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
     def bootstrap(self, ct) -> "CKKSCiphertext":
         return self.bootstrap_batch([ct])[0]
 
-    def bootstrap_batch(self, cts) -> list:
+    def bootstrap_iterative_batch(self, cts, precision: int = 4) -> list:
+        """Iterative (2-iteration) bootstrapping with both bootstraps on
+        device (EvalBootstrap(ct, numIterations=2, precision) — neither the
+        iteration nor the base bootstrap ever ran off-CPU in the reference).
+        Both runs land on EXACTLY the input scale (target_scale), so the
+        residual subtraction is drift-free."""
+        from .ckks_boot import _drop_to, mult_const, scale_int, sub_ct
+        if not 1 <= precision <= 8:
+            raise ValueError(f"precision {precision} out of the supported "
+                             "range [1, 8]")
+        target = float(cts[0].scale)
+        b1s = self.bootstrap_batch(cts, target_scale=target)
+        P = 1 << precision
+        errs = [sub_ct(_drop_to(scale_int(b1, P), ct.level_params),
+                       scale_int(ct, P)) for b1, ct in zip(b1s, cts)]
+        b2s = self.bootstrap_batch(errs, target_scale=target)
+        out = []
+        for b1, b2 in zip(b1s, b2s):
+            q_last = b2.level_params.moduli[-1]
+            ps = float(q_last) * b1.scale / b2.scale
+            out.append(sub_ct(b1, mult_const(self.ctx, b2, 1.0 / P,
+                                             plain_scale=ps)))
+        return out
+
+    def bootstrap_batch(self, cts, target_scale: float | None = None) -> list:
         """Host ModRaise, then PartialSum (sparse) -> factored CoeffsToSlots
         -> EvalMod -> factored SlotsToCoeffs on device, batched [L, B, N]."""
         from .ckks import CKKSCiphertext
@@ -126,14 +159,10 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
                    for c in cts)
         raised_cts = []
         for ct in cts:
-            raised = []
-            for poly in ct.polys:
-                c = poly.to_centered_bigint()
-                raised.append(DCRTPoly.from_bigint(
-                    full, [x % full.Q for x in c]).to_eval())
+            r = mod_raise(self.ctx, ct)
             # claim the canonical top scale; the true (drifted) input scale
             # is folded into the final factor (see the BSGS driver's note)
-            raised_cts.append(CKKSCiphertext(raised, self.sf[full.L], p))
+            raised_cts.append(CKKSCiphertext(r.polys, self.sf[full.L], p))
         corr = cts[0].scale / self.sf[full.L]
         dct = self.dctx.upload_batch(raised_cts)
 
@@ -162,7 +191,10 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
         last = len(pre.stc_groups) - 1
         for i, g in enumerate(pre.stc_groups):
             sm = 1.0 / float(corr) if i == last else 1.0
+            ts = target_scale if i == last else None
             tg = ("stc", i) if i != last else \
-                ("stc", i, round(float(corr) * (1 << 48)))
-            out = self.diag_transform(out, g, tag=tg, scale_mul=sm)
+                ("stc", i, round(float(corr) * (1 << 48)),
+                 None if ts is None else round(ts))
+            out = self.diag_transform(out, g, tag=tg, scale_mul=sm,
+                                      target_scale=ts)
         return self.dctx.download_batch(out)

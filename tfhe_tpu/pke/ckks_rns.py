@@ -150,7 +150,11 @@ def rns_hybrid_ks_gen(rng, q_params: DCRTParams, s_from_signed, s_to_signed,
     primes are chosen = 1 mod t so ModDown preserves the message mod t."""
     per = (q_params.L + dnum - 1) // dnum
     groups = [(i, min(i + per, q_params.L)) for i in range(0, q_params.L, per)]
-    n_p = max(e - s for s, e in groups) + 1
+    # size P by BITS: chain limbs can be wider than the special limbs, and
+    # P < max digit group blows the key-switch noise up by D/P
+    group_bits = max(sum(q_params.moduli[i].bit_length()
+                         for i in range(s, e)) for s, e in groups)
+    n_p = (group_bits + limb_bits - 1) // limb_bits + 1
     p_moduli = _moduli_chain(q_params.N, n_p, limb_bits, skip=q_params.L,
                              extra_mod=t)
     pq = DCRTParams(N=q_params.N, moduli=q_params.moduli + tuple(p_moduli))

@@ -81,10 +81,14 @@ def _digit_groups(L: int, dnum: int) -> list[tuple[int, int]]:
 def hybrid_ks_params(q_params: DCRTParams, dnum: int,
                      limb_bits: int = 40) -> tuple[DCRTParams, int, list]:
     """Extended PQ chain: the Q limbs plus enough disjoint special limbs to
-    cover the largest digit group with one limb of margin."""
+    cover the largest digit group with one limb of margin. P is sized by
+    BITS, not limb count — the chain limbs can be wider than the special
+    limbs (e.g. 59-bit bootstrap chains vs 40-bit P limbs), and a P smaller
+    than the digit makes the key-switch noise blow up by D/P."""
     groups = _digit_groups(q_params.L, dnum)
-    max_group = max(e - s for s, e in groups)
-    n_p = max_group + 1
+    group_bits = max(sum(q_params.moduli[i].bit_length()
+                         for i in range(s, e)) for s, e in groups)
+    n_p = (group_bits + limb_bits - 1) // limb_bits + 1
     p_moduli = _moduli_chain(q_params.N, n_p, limb_bits, skip=q_params.L)
     P = 1
     for m in p_moduli:
