@@ -244,3 +244,35 @@ def test_bootstrap_depth_clamps_to_stage_count(fft_ctx):
     with pytest.raises(ValueError):
         cb.eval_bootstrap_iterative(ctx, ct, None, None, None,
                                     num_iterations=2, precision=12)
+
+
+def test_context_factory_bootstrapping():
+    """gen_crypto_context(..., bootstrapping=True): the chain is widened by
+    GetBootstrapDepth so `mult_depth` levels remain usable after a refresh
+    (the reference's SetMultiplicativeDepth(levelsUsed +
+    GetBootstrapDepth(...)) idiom)."""
+    from tfhe_tpu.pke.context import gen_crypto_context
+    from tfhe_tpu.pke.keyswitch import relin_key_gen_hybrid
+    cc = gen_crypto_context("ckks", N=32, mult_depth=2, scale_bits=40,
+                            bootstrapping=True, level_budget=(2, 2),
+                            seed=23)
+    cfg = cc.bootstrap_config
+    want = 2 + 1 + cf.bootstrap_depth(cfg["level_budget"],
+                                      cheb_deg=cfg["cheb_deg"],
+                                      double_angles=cfg["double_angles"])
+    assert cc.params.dcrt.L == want
+    sk, pk = cc.key_gen(secret_dist=cfg["secret_dist"], hamming_weight=8)
+    rlk = relin_key_gen_hybrid(cc.rng, cc.params.dcrt, sk[1], dnum=3)
+    pre = cf.eval_bootstrap_setup_fft(cc, level_budget=cfg["level_budget"],
+                                      K=cfg["K"], cheb_deg=cfg["cheb_deg"],
+                                      double_angles=cfg["double_angles"])
+    keys = cf.eval_bootstrap_keygen_fft(cc, sk, pre, dnum=3)
+    z = np.linspace(-0.02, 0.02, cc.params.slots)
+    ct = cc.encrypt(pk, z)
+    while ct.level_params.L > 1:
+        ct = cc.rescale(cb.mult_const(cc, ct, 1.0, rescale=False))
+    fresh = cf.eval_bootstrap_fft(cc, ct, pre, keys, rlk)
+    assert fresh.level_params.L >= 3, "mult_depth levels must survive"
+    assert np.abs(cc.decrypt(sk, fresh).real - z).max() < 5e-3
+    with pytest.raises(ValueError):
+        gen_crypto_context("bgv", N=32, bootstrapping=True)

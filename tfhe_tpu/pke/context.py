@@ -29,6 +29,8 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
                        key_switch: str = "bv",
                        scaling_technique: str = "fixedmanual",
                        dnum: int = 2,
+                       bootstrapping: bool = False,
+                       level_budget: tuple[int, int] = (2, 2),
                        seed: int | None = None):
     """GenCryptoContext analogue.
 
@@ -41,6 +43,12 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
     with `dnum` hybrid key-switch digits — ckksrns-leveledshe.cpp's
     ScalingTechnique).
 
+    `bootstrapping=True` (CKKS only) sizes the chain for `mult_depth`
+    usable levels AFTER a refresh — mult_depth is widened by
+    GetBootstrapDepth for the given `level_budget` and the sparse-secret
+    EvalMod defaults, and the chosen configuration is attached as
+    `cc.bootstrap_config` (pass it to eval_bootstrap_setup_fft).
+
     Parameter generation: when `N` is omitted, the ring dimension and the
     moduli chain are derived from (`mult_depth`, `security_level`) — the
     default level is 128_classic, like the reference's HEStd_128_classic
@@ -50,6 +58,26 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
     toy/test dimensions).
     """
     s = scheme.upper()
+    boot_cfg = None
+    if bootstrapping:
+        # size the chain for `mult_depth` USABLE levels after a refresh:
+        # add the levels one bootstrap consumes (the reference's
+        # SetMultiplicativeDepth(levelsUsed + GetBootstrapDepth(...)) idiom,
+        # iterative-ckks-bootstrapping.cpp:106-111)
+        if s not in ("CKKS", "CKKSRNS"):
+            raise ValueError("bootstrapping=True is a CKKS option")
+        from .ckks_boot_fft import bootstrap_depth
+        boot_cfg = {"level_budget": tuple(level_budget), "K": 28.0,
+                    "cheb_deg": 44, "double_angles": 3,
+                    "secret_dist": "sparse"}
+        mult_depth = mult_depth + bootstrap_depth(
+            boot_cfg["level_budget"], cheb_deg=boot_cfg["cheb_deg"],
+            double_angles=boot_cfg["double_angles"])
+        # bootstrap chains use uniform scale-sized limbs: rescale divides
+        # by q_l ~ 2^limb_bits, so limbs wider than the scale would decay
+        # the tracked scale each level (the reference likewise pairs
+        # scalingModSize with dcrtBits for bootstrapping)
+        limb_bits = scale_bits
     if security_level is None:
         # explicit-N callers keep their hand-picked (often toy) dimensions
         # unchecked, exactly like the reference's HEStd_NotSet escape hatch
@@ -95,11 +123,14 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
                                    technique=scaling_technique)
 
         if security_level == "NotSet":
-            return _wrap(CKKSContext(
+            cc = _wrap(CKKSContext(
                 CKKSParams.create(N=N, mult_depth=mult_depth,
                                   scale_bits=scale_bits,
                                   limb_bits=min(limb_bits, 50)),
                 seed=seed))
+            if boot_cfg is not None:
+                cc.bootstrap_config = boot_cfg
+            return cc
         d = derive_ckks(mult_depth, scale_bits, first_mod_bits,
                         security_level, ring_dim=N, key_switch=key_switch)
         params = CKKSParams(
@@ -109,9 +140,13 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
                                                          d.limb_bits)),
             scale=float(1 << scale_bits))
         cc = CKKSContext(params, seed=seed)
+        if boot_cfg is not None:
+            cc.bootstrap_config = boot_cfg
         if scaling_technique != "fixedmanual":
             wrapped = _wrap(cc)
             wrapped.derived = d
+            if boot_cfg is not None:
+                wrapped.bootstrap_config = boot_cfg
             return wrapped
     else:
         raise ValueError(f"unknown scheme {scheme!r} (BFV, BGV, or CKKS)")
