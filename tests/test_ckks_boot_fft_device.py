@@ -103,3 +103,23 @@ def test_device_iterative_bootstrap(boot):
     assert err2 < 2e-3
     with pytest.raises(ValueError):
         bd.bootstrap_iterative_batch([ct], precision=12)
+
+
+def test_lazy_factor_matches_eager(boot):
+    """Double-hoisted (lazy-ModDown) giant accumulation == the eager
+    one-ModDown-per-giant path, up to the (smaller) single-rounding noise;
+    scale/level bookkeeping identical."""
+    ctx, sk, pk, bd = boot
+    s = ctx.params.slots
+    rng = np.random.default_rng(5)
+    z = rng.normal(size=s) * 0.3 + 1j * rng.normal(size=s) * 0.3
+    ct = ctx.encrypt(pk, z)
+    g = bd.pre.cts_groups[0]
+    lazy = bd.diag_transform(bd.dctx.upload(ct), g, lazy=True)
+    eager = bd.diag_transform(bd.dctx.upload(ct), g, lazy=False)
+    assert lazy.scale == eager.scale and lazy.moduli == eager.moduli
+    zl = ctx.decrypt(sk, bd.dctx.download(lazy))
+    ze = ctx.decrypt(sk, bd.dctx.download(eager))
+    want = cf.diag_to_dense(g.diags, s) @ z
+    assert np.abs(zl - ze).max() < 1e-4
+    assert np.abs(zl - want).max() < 1e-3

@@ -74,13 +74,17 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
 
     def diag_transform(self, ct, g: DiagMatrix, tag=None,
                        scale_mul: float = 1.0,
-                       target_scale: float | None = None
-                       ) -> DeviceCKKSCiphertext:
+                       target_scale: float | None = None,
+                       lazy: bool = True) -> DeviceCKKSCiphertext:
         """out = M ct for one grouped factor (one rescale level): hoisted
-        baby rotations, one fused diagonal-sum jit per giant row. With
-        `target_scale`, the plaintexts encode at q_last*target/ct.scale so
-        the output lands on EXACTLY that scale (instead of the canonical
-        sf) — required by the iterative bootstrap's residual subtraction."""
+        baby rotations; the giant rows run DOUBLE-HOISTED by default —
+        every row's keyed result accumulates in the extended PQ basis and
+        one shared ModDown closes the factor (build_diag_factor_lazy;
+        `lazy=False` keeps the eager one-ModDown-per-giant path for
+        comparison). With `target_scale`, the plaintexts encode at
+        q_last*target/ct.scale so the output lands on EXACTLY that scale
+        (instead of the canonical sf) — required by the iterative
+        bootstrap's residual subtraction."""
         N = self.params.N
         bab = {}
         nontrivial = [r for r in g.babies if r % self.params.slots]
@@ -92,12 +96,38 @@ class CKKSBootstrapFFTDevice(CKKSDeviceEvaluator):
         p0 = jnp.stack([bab[r].c0 for r in g.babies], axis=1)
         p1 = jnp.stack([bab[r].c1 for r in g.babies], axis=1)
         n_l = len(ct.moduli)
-        fused = build_diag_inner(N, ct.moduli, len(g.babies))
         ps = None if target_scale is None else \
             float(ct.moduli[-1]) * target_scale / ct.scale
         s_c = self.sf[n_l] if ps is None else ps
+        giants = sorted({p[1] for p in g.plan})
+
+        if lazy:
+            from .ckks_device import build_diag_factor_lazy
+            elements = tuple(
+                galois_element(gg, N) if gg % self.params.slots else 1
+                for gg in giants)
+            pt = jnp.stack([self._diag_row_pt(tag, g, gg, n_l, scale_mul,
+                                              plain_scale=ps)
+                            for gg in giants])
+            key0 = next(iter(self._gk.values()))
+            groups, rows = key0.level_view(n_l - 1)
+            kbs, kbshs, kas, kashs = [], [], [], []
+            for k in elements:
+                key = key0 if k == 1 else self._gk[(k, n_l)]
+                kbs.append(key.kb)
+                kbshs.append(key.kb_sh)
+                kas.append(key.ka)
+                kashs.append(key.ka_sh)
+            fn = build_diag_factor_lazy(N, ct.moduli, key0.p_moduli,
+                                        groups, len(g.babies), elements,
+                                        rows)
+            c0, c1 = fn(p0, p1, pt, kbs, kbshs, kas, kashs)
+            return DeviceCKKSCiphertext(
+                c0, c1, ct.scale * s_c / ct.moduli[-1], ct.moduli[:-1])
+
+        fused = build_diag_inner(N, ct.moduli, len(g.babies))
         acc = None
-        for gg in sorted({p[1] for p in g.plan}):
+        for gg in giants:
             pt = self._diag_row_pt(tag, g, gg, n_l, scale_mul,
                                    plain_scale=ps)
             r0, r1 = fused(p0, p1, pt)

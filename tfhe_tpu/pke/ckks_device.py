@@ -166,9 +166,10 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
         return [ntt_pq.forward(fbcs[g](c2c[g0:g1]))
                 for g, (g0, g1) in enumerate(groups)]
 
-    def inner(dps, kb, kb_sh, ka, ka_sh):
-        """Inner product of precomputed eval digits with the key towers,
-        then ModDown — the per-key half."""
+    def ip(dps, kb, kb_sh, ka, ka_sh):
+        """Inner product of precomputed eval digits with the key towers —
+        result stays in the PQ basis, EVAL form (no ModDown): the lazy
+        half that makes double-hoisted accumulation possible."""
         acc0 = acc1 = None
         for g in range(len(groups)):
             dp = dps[g]
@@ -181,15 +182,25 @@ def _make_keyswitch(N: int, lvl: tuple, p_moduli: tuple, groups: tuple,
                                    _bc_traced(kashg, dp.ndim), lm_pq)
             acc0 = t0 if acc0 is None else mv.addmod_v(acc0, t0, lm_pq)
             acc1 = t1 if acc1 is None else mv.addmod_v(acc1, t1, lm_pq)
-        d0 = moddown(ntt_pq.inverse(acc0))
-        d1 = moddown(ntt_pq.inverse(acc1))
-        return d0, d1
+        return acc0, acc1
+
+    def finish(acc0, acc1):
+        """PQ eval accumulators -> ModDown'd coeff rows over `lvl`."""
+        return (moddown(ntt_pq.inverse(acc0)),
+                moddown(ntt_pq.inverse(acc1)))
+
+    def inner(dps, kb, kb_sh, ka, ka_sh):
+        """Inner product + ModDown — the per-key half."""
+        return finish(*ip(dps, kb, kb_sh, ka, ka_sh))
 
     def ks(c2c, kb, kb_sh, ka, ka_sh):
         return inner(precompute(c2c), kb, kb_sh, ka, ka_sh)
 
     ks.precompute = precompute
     ks.inner = inner
+    ks.ip = ip
+    ks.finish = finish
+    ks.lm_pq = lm_pq
     return ks
 
 
@@ -457,6 +468,92 @@ def build_diag_inner(N: int, lvl: tuple, nb: int):
             r0 = mv.addmod_v(r0, a0[:, k], lm)
             r1 = mv.addmod_v(r1, a1[:, k], lm)
         return r0, r1
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def build_diag_factor_lazy(N: int, lvl: tuple, p_moduli: tuple,
+                           groups: tuple, nb: int, elements: tuple,
+                           key_rows: tuple | None = None):
+    """One jit for a WHOLE grouped FFT-transform factor with double-hoisted
+    giant steps (lazy ModDown — the BSGS-accumulation idea of the
+    double/triple-hoisting line of work, cf. DM21/Lattigo): per giant row —
+    fused diagonal sum over the `nb` baby stacks, rescale, coeff-domain
+    automorphism, digit decompose/FBC and key inner product — with every
+    row's keyed result ACCUMULATED IN THE EXTENDED PQ BASIS. One shared
+    inverse PQ NTT + ModDown closes the factor, so the per-row cost drops
+    to digits + inner products + gathers (the eager path pays a full
+    ModDown and output NTT pair per giant).
+
+    `elements`: the Galois element per giant row (1 = no rotation).
+    `groups`/`key_rows` describe the POST-rescale level chain lvl[:-1].
+    Args: baby stacks p0/p1 [L, nb, (B,) N] EVAL over lvl; plaintext
+    stacks pt [Gg, L, nb, N] COEFF; per-giant key towers (4 lists).
+    Returns (c0, c1) EVAL towers over lvl[:-1]."""
+    lvl2 = lvl[:-1]
+    lm = mv.LimbModuli(tuple(lvl))
+    lm2 = mv.LimbModuli(tuple(lvl2))
+    ntt = NTTL(N, tuple(lvl))
+    ntt2 = NTTL(N, tuple(lvl2))
+    resc = _make_rescale(lvl)
+    ks = _make_keyswitch(N, lvl2, p_moduli, groups, 1, key_rows)
+
+    def _auto(k):
+        idx = (np.arange(N) * k) % (2 * N)
+        tgt = idx % N
+        src = np.zeros(N, dtype=np.int32)
+        src[tgt] = np.arange(N)
+        flip_at_tgt = np.zeros(N, dtype=bool)
+        flip_at_tgt[tgt] = idx >= N
+        return jnp.asarray(src), jnp.asarray(flip_at_tgt)
+
+    autos = {k: _auto(k) for k in set(elements) if k != 1}
+
+    @jax.jit
+    def f(p0, p1, pt, kbs, kbshs, kas, kashs):
+        # [Gg, L, nb, N] -> [L, Gg, nb, N]: the stacked NTT wants the limb
+        # axis leading (twiddles broadcast over the trailing dims)
+        pte = ntt.forward(jnp.moveaxis(pt, 0, 1))
+        acc_c0 = acc_c1 = None                      # lvl2 coeff (unkeyed)
+        acc_q0 = acc_q1 = None                      # PQ eval (keyed)
+        for gi, k in enumerate(elements):
+            ptg = pte[:, gi]
+            ptg_b = ptg.reshape(ptg.shape[:2] + (1,) * (p0.ndim - 3)
+                                + ptg.shape[-1:]) if p0.ndim > 3 else ptg
+            a0 = mv.barrett_mulmod_v(p0, ptg_b, lm)
+            a1 = mv.barrett_mulmod_v(p1, ptg_b, lm)
+            r0 = a0[:, 0]
+            r1 = a1[:, 0]
+            for b in range(1, nb):
+                r0 = mv.addmod_v(r0, a0[:, b], lm)
+                r1 = mv.addmod_v(r1, a1[:, b], lm)
+            r0c = resc(ntt.inverse(r0))             # coeff over lvl2
+            r1c = resc(ntt.inverse(r1))
+            if k == 1:
+                acc_c0 = r0c if acc_c0 is None else \
+                    mv.addmod_v(acc_c0, r0c, lm2)
+                acc_c1 = r1c if acc_c1 is None else \
+                    mv.addmod_v(acc_c1, r1c, lm2)
+                continue
+            srcj, flip = autos[k]
+            q2 = lm2.bc(lm2.q, r0c.ndim)
+            t0 = jnp.take(r0c, srcj, axis=-1)
+            t0 = jnp.where(flip & (t0 != 0), q2 - t0, t0)
+            t1 = jnp.take(r1c, srcj, axis=-1)
+            t1 = jnp.where(flip & (t1 != 0), q2 - t1, t1)
+            acc_c0 = t0 if acc_c0 is None else mv.addmod_v(acc_c0, t0, lm2)
+            i0, i1 = ks.ip(ks.precompute(t1),
+                           kbs[gi], kbshs[gi], kas[gi], kashs[gi])
+            acc_q0 = i0 if acc_q0 is None else \
+                mv.addmod_v(acc_q0, i0, ks.lm_pq)
+            acc_q1 = i1 if acc_q1 is None else \
+                mv.addmod_v(acc_q1, i1, ks.lm_pq)
+        if acc_q0 is not None:
+            d0, d1 = ks.finish(acc_q0, acc_q1)
+            acc_c0 = mv.addmod_v(acc_c0, d0, lm2)
+            acc_c1 = d1 if acc_c1 is None else mv.addmod_v(acc_c1, d1, lm2)
+        return ntt2.forward(acc_c0), ntt2.forward(acc_c1)
 
     return f
 
