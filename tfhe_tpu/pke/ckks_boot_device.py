@@ -425,8 +425,18 @@ class CKKSBootstrapDevice(CKKSDeviceEvaluator):
         ct_re = self.mult_const(self.add(ct_slots, w_c), 0.5)
         ct_im = self.mult_plain(self.sub(ct_slots, w_c),
                                 np.full(p.slots, -0.5j), pt_key="im_half")
-        m_re = self.eval_mod(ct_re)
-        m_im = self.eval_mod(ct_im)
+        # one EvalMod traversal for both halves (re/im on the batch axis)
+        assert ct_re.scale == ct_im.scale and ct_re.moduli == ct_im.moduli
+        B = ct_re.c0.shape[1]
+        both = DeviceCKKSCiphertext(
+            jnp.concatenate([ct_re.c0, ct_im.c0], axis=1),
+            jnp.concatenate([ct_re.c1, ct_im.c1], axis=1),
+            ct_re.scale, ct_re.moduli)
+        m2 = self.eval_mod(both)
+        m_re = DeviceCKKSCiphertext(m2.c0[:, :B], m2.c1[:, :B],
+                                    m2.scale, m2.moduli)
+        m_im = DeviceCKKSCiphertext(m2.c0[:, B:], m2.c1[:, B:],
+                                    m2.scale, m2.moduli)
         recomb = self.add(m_re, self.mult_plain(m_im, np.full(p.slots, 1j),
                                                 pt_key="im_one"))
         out = self.linear_transform_bsgs(
