@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .ckks import CKKSCiphertext, CKKSContext, CKKSParams, encode, _at_level
+from .ckks import CKKSCiphertext, CKKSContext, encode, _at_level
 from .dcrt import DCRTParams, DCRTPoly
 from .encoding import apply_automorphism_coeff
 

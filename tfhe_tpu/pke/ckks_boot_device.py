@@ -35,10 +35,9 @@ from .ckks_boot import (BootstrapPrecom, _bsgs_split, _cheb_divmod_T,
                         mod_raise)
 from .ckks_device import (CKKSDeviceContext, DeviceCKKSCiphertext,
                           _PackedKey, build_add, build_add_scalar,
-                          build_mult_plain, build_mult_relin_rescale,
-                          build_mult_scalar, build_rescale_only, build_rotate)
+                          build_mult_plain, build_mult_scalar,
+                          build_rescale_only, build_rotate)
 from .ckks_rns import CKKSRnsContext
-from .dcrt import DCRTParams, DCRTPoly
 
 
 class CKKSDeviceEvaluator:
