@@ -40,6 +40,28 @@ def demo_bfv():
     print("  rotate by 2 ok:", np.array_equal(rot, want))
 
 
+def demo_bfv_behz():
+    """depth-bfvrns-behz.cpp: the same depth chain under the BEHZ
+    multiplication technique (gen_crypto_context switch)."""
+    from tfhe_tpu.pke.context import gen_crypto_context
+
+    print("== BFV (BEHZ multiplication technique): depth-2 chain ==")
+    cc = gen_crypto_context("BFV", N=256, plaintext_modulus=7681,
+                            mult_depth=2, limb_bits=28, seed=9,
+                            multiplication_technique="behz")
+    sk, pk = cc.key_gen()
+    rlk = cc.relin_key_gen(sk)
+    v1 = np.arange(1, 257) % 13
+    v2 = np.arange(1, 257) % 7 + 1
+    v3 = np.arange(1, 257) % 5 + 1
+    prod = cc.eval_mult(cc.encrypt_packed(pk, v1),
+                        cc.encrypt_packed(pk, v2), rlk)
+    prod = cc.eval_mult(prod, cc.encrypt_packed(pk, v3), rlk)
+    ok = np.array_equal(cc.decrypt_packed(sk, prod),
+                        (v1 * v2 % 7681) * v3 % 7681)
+    print("  depth-2 v1*v2*v3 slots ok:", ok)
+
+
 def demo_bgv():
     """BGV with modulus switching + packed rotation."""
     from tfhe_tpu.pke.bgv import BGVContext, BGVParams
@@ -239,7 +261,8 @@ def demo_boot_device():
 
 
 def main():
-    demos = {"bfv": demo_bfv, "bgv": demo_bgv, "ckks": demo_ckks,
+    demos = {"bfv": demo_bfv, "bfv-behz": demo_bfv_behz, "bgv": demo_bgv,
+             "ckks": demo_ckks,
              "boot": demo_boot, "pre": demo_pre, "threshold": demo_threshold,
              "hybrid": demo_hybrid, "device": demo_device,
              "boot-device": demo_boot_device}

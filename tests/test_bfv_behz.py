@@ -156,3 +156,29 @@ def test_behz_inherits_rotation(ctx):
     half = N // 2
     want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
     np.testing.assert_array_equal(out, want)
+
+
+def test_factory_multiplication_technique():
+    """gen_crypto_context(multiplication_technique=...) — the reference's
+    SetMultiplicationTechnique switch."""
+    from tfhe_tpu.pke.bfv_rns import BFVRnsContext as _Hps
+    from tfhe_tpu.pke.context import gen_crypto_context
+    cc = gen_crypto_context("BFV", N=N, mult_depth=1, plaintext_modulus=T,
+                            limb_bits=28, seed=5,
+                            multiplication_technique="behz")
+    assert isinstance(cc, BFVBehzContext)
+    sk, pk = cc.key_gen()
+    rlk = cc.relin_key_gen(sk)
+    v = np.arange(N) % T
+    out = cc.eval_mult(cc.encrypt_packed(pk, v), cc.encrypt_packed(pk, v),
+                       rlk)
+    np.testing.assert_array_equal(cc.decrypt_packed(sk, out), v * v % T)
+    hps = gen_crypto_context("BFV", N=N, mult_depth=1, plaintext_modulus=T,
+                             limb_bits=28, seed=5,
+                             multiplication_technique="hps")
+    assert isinstance(hps, _Hps) and not isinstance(hps, BFVBehzContext)
+    with pytest.raises(ValueError, match="limb_bits"):
+        gen_crypto_context("BFV", N=N, plaintext_modulus=T,
+                           multiplication_technique="behz")
+    with pytest.raises(ValueError, match="BFV option"):
+        gen_crypto_context("CKKS", N=64, multiplication_technique="behz")

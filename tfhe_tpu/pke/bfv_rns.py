@@ -240,6 +240,11 @@ class BFVRnsContext:
                                     moduli=lp.moduli + tuple(self.r_moduli))
         self._delta_mod = tuple(int(p.delta % m) for m in lp.moduli)
 
+    def key_gen(self):
+        """Key generation is technique-independent — delegate to the base
+        context (so factory-built RNS contexts are self-sufficient)."""
+        return self.ctx.key_gen()
+
     # -- RNS encrypt / decrypt ------------------------------------------------
 
     def encrypt(self, pk, m) -> BFVCiphertext:

@@ -28,6 +28,7 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
                        security_level: str | None = None,
                        key_switch: str = "bv",
                        scaling_technique: str = "fixedmanual",
+                       multiplication_technique: str | None = None,
                        dnum: int = 2,
                        bootstrapping: bool = False,
                        level_budget: tuple[int, int] = (2, 2),
@@ -58,6 +59,22 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
     toy/test dimensions).
     """
     s = scheme.upper()
+    if multiplication_technique is not None:
+        # BFV-only switch, like the reference's SetMultiplicationTechnique
+        # (constants.h MultiplicationTechnique; bfvrns-leveledshe.cpp routes
+        # EvalMult on it). "hps" -> pure-RNS HPS (bfv_rns.py), "behz" ->
+        # BEHZ (bfv_behz.py); None keeps the exact big-int context.
+        mt = multiplication_technique.lower()
+        if s not in ("BFV", "BFVRNS"):
+            raise ValueError("multiplication_technique is a BFV option")
+        if mt not in ("hps", "behz"):
+            raise ValueError(f"unknown multiplication_technique {mt!r} "
+                             "(hps or behz)")
+        if limb_bits > 30:
+            raise ValueError(
+                "the pure-RNS BFV pipelines keep host and device "
+                "bit-identical with u32-word arithmetic, which needs "
+                "limb_bits <= 30 (add limbs for capacity)")
     boot_cfg = None
     if bootstrapping:
         # size the chain for `mult_depth` USABLE levels after a refresh:
@@ -86,16 +103,27 @@ def gen_crypto_context(scheme: str, *, N: int | None = None,
         raise ValueError("N must be given when security_level is 'NotSet'")
 
     if s in ("BFV", "BFVRNS"):
+        def _wrap_bfv(cc_exact):
+            if multiplication_technique is None:
+                return cc_exact
+            from .bfv_behz import BFVBehzContext
+            from .bfv_rns import BFVRnsContext
+            cls = (BFVBehzContext
+                   if multiplication_technique.lower() == "behz"
+                   else BFVRnsContext)
+            return cls(cc_exact, dnum=dnum, ks_limb_bits=limb_bits)
+
         if security_level == "NotSet":
-            return BFVContext(BFVParams.create(N=N, t=plaintext_modulus,
-                                               mult_depth=mult_depth,
-                                               limb_bits=limb_bits), seed=seed)
+            return _wrap_bfv(BFVContext(
+                BFVParams.create(N=N, t=plaintext_modulus,
+                                 mult_depth=mult_depth,
+                                 limb_bits=limb_bits), seed=seed))
         d = derive_bfv(mult_depth, plaintext_modulus, security_level,
                        ring_dim=N, limb_bits=limb_bits)
         params = BFVParams(N=d.ring_dim, t=plaintext_modulus,
                            dcrt=DCRTParams.create(d.ring_dim, d.n_limbs,
                                                   limb_bits))
-        cc = BFVContext(params, seed=seed)
+        cc = _wrap_bfv(BFVContext(params, seed=seed))
     elif s in ("BGV", "BGVRNS"):
         if security_level == "NotSet":
             return BGVContext(BGVParams.create(N=N, t=plaintext_modulus,
