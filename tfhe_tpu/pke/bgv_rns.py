@@ -164,6 +164,16 @@ class BGVRnsContext:
         return BFVCiphertext([mod_reduce_rns(p, t) for p in ct.polys],
                              ct.params)
 
+    def compress(self, ct: BFVCiphertext,
+                 towers_left: int = 1) -> BFVCiphertext:
+        """Shrink to `towers_left` towers before transmission
+        (rns-leveledshe.cpp Compress): for BGV each dropped tower is a
+        message-exact ModReduce, so decryption is unchanged mod t."""
+        out = ct
+        while out.polys[0].params.L > towers_left:
+            out = self.mod_reduce(out)
+        return out
+
     def eval_mult_plain(self, ct: BFVCiphertext, values) -> BFVCiphertext:
         """Slotwise multiply by an unencrypted packed vector (EvalMult's
         plaintext overload): ring-multiply both polys by the packed

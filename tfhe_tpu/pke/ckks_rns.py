@@ -485,6 +485,39 @@ class CKKSRnsContext:
             ct = CKKSCiphertext(new, ct.scale / lp.moduli[-1], self.params)
         return ct
 
+    def level_reduce(self, ct, levels: int = 1):
+        """Drop the last `levels` towers WITHOUT rescaling — the ciphertext
+        value mod the shorter chain still decrypts (message + noise are far
+        below the remaining modulus), and the scale is unchanged
+        (rns-leveledshe.cpp LevelReduceInternal / ckksrns-leveledshe.cpp
+        LevelReduceInternalInPlace, which likewise just DropLastElements)."""
+        from .ckks import CKKSCiphertext
+        from .dcrt import DCRTParams
+        lp = ct.polys[0].params
+        assert 0 < levels < lp.L
+        new_lp = DCRTParams(N=lp.N, moduli=lp.moduli[:-levels])
+        polys = [DCRTPoly(new_lp, p.rns[:-levels], p.eval_form)
+                 for p in ct.polys]
+        return CKKSCiphertext(polys, ct.scale, ct.params,
+                              noise_deg=ct.noise_deg)
+
+    def compress(self, ct, towers_left: int = 1):
+        """Shrink a result ciphertext to `towers_left` towers before
+        transmission/decryption (rns-leveledshe.cpp Compress): flush any
+        deferred rescale (noise degree back to 1), then LevelReduce the
+        rest away. Lossless for the decrypted message at the given scale;
+        serialized size drops by L/towers_left."""
+        from .ckks import CKKSCiphertext
+        out = ct
+        while out.noise_deg > 1:
+            lp = out.polys[0].params
+            out = CKKSCiphertext([rescale_rns(p) for p in out.polys],
+                                 out.scale / lp.moduli[-1], self.params)
+        L = out.polys[0].params.L
+        if towers_left < L:
+            out = self.level_reduce(out, L - towers_left)
+        return out
+
     def eval_mult_limb(self, a, b, rlk, mesh, rescale: bool = True):
         """eval_mult with the RING DIMENSION sharded over a ('limb',) mesh
         (parallel/limb_ntt): the NTT / tensor-product / relinearization /
