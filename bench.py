@@ -205,19 +205,50 @@ def run_gate(args) -> dict:
     }
 
 
+_SHARED: dict = {}   # cross-op key/context reuse (see _run_functional)
+
+
 def _run_functional(name, log_q, arb_func, throw, batch, iters, make_inputs):
     """Shared shell for func/floor/sign/decomp: build ctx, compile+verify,
-    then median-of-iters timing. `make_inputs(cc, sk)` returns (run, check)."""
+    then median-of-iters timing. `make_inputs(cc, sk)` returns (run, check).
+
+    Keys are shared across ops where the parameters allow: the sign and
+    decomp configs (logQ 17/23) resolve to IDENTICAL contexts, so decomp
+    reuses sign's context, keys, and device pipelines outright; func
+    (logQ 12) shares the same LWE block (n=1305, N=2048, qKS=2^35), so its
+    ~5 GB switching key serves them too (only the gadget-base BSK differs).
+    Keygen is not part of the reported metric — this trims minutes of
+    redundant host work from the bench wall-clock."""
     from tfhe_tpu import BinFHEContext, ParamSet
 
     cc = BinFHEContext(seed=20260816)
     cc.generate_binfhe_context(ParamSet.STD128, arb_func=arb_func,
                                log_q=log_q, num_digits_to_throw=throw)
-    sk = cc.key_gen()
+    p, rg = cc.params.lwe, cc.params.rgsw
+    full_tag = (p.n, p.N, p.q, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                rg.base_g, rg.digits_g, rg.num_digits_to_throw)
+    lwe_tag = (p.n, p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks, p.std)
     t0 = time.time()
-    cc.bt_key_gen(sk)
-    t_keygen = time.time() - t0
-    cc.device_setup()
+    if ("ctx", full_tag) in _SHARED:
+        prev_name, prev_cc, prev_sk = _SHARED[("ctx", full_tag)]
+        log(f"[{name}] identical parameters to [{prev_name}]: reusing its "
+            f"context, keys, and device pipelines")
+        cc, sk = prev_cc, prev_sk
+        t_keygen = time.time() - t0
+    else:
+        if ("lwe", lwe_tag) in _SHARED:
+            prev_name, sk, sk_n, ksk = _SHARED[("lwe", lwe_tag)]
+            log(f"[{name}] same LWE block as [{prev_name}]: reusing "
+                f"secret + switching keys")
+            cc.bt_key_gen(sk, sk_n=sk_n, ksk=ksk)
+        else:
+            sk = cc.key_gen()
+            cc.bt_key_gen(sk)
+            _SHARED[("lwe", lwe_tag)] = (name, sk, cc.bt_key.sk_n,
+                                         cc.bt_key.ksk)
+        t_keygen = time.time() - t0
+        cc.device_setup()
+        _SHARED[("ctx", full_tag)] = (name, cc, sk)
     run, check = make_inputs(cc, sk)
 
     t0 = time.time()

@@ -76,20 +76,29 @@ class BinFHEContext:
         p = self.params.lwe
         return lwe.key_gen(self.rng, p.N, p.Q)
 
-    def bt_key_gen(self, sk: lwe.LWEPrivateKey) -> None:
+    def bt_key_gen(self, sk: lwe.LWEPrivateKey,
+                   sk_n: lwe.LWEPrivateKey | None = None,
+                   ksk: lwe.LWESwitchingKey | None = None) -> None:
         """BTKeyGen (binfhecontext.cpp:224-246); with time_optimization, one key
-        per gadget base in the sign-eval map."""
+        per gadget base in the sign-eval map — sharing one ring secret and one
+        switching key across the map (the KSK is base-independent).
+
+        `sk_n`/`ksk` allow reusing another context's ring secret + switching
+        key when the LWE parameters match (all accelerated logQ configs share
+        n=1305, N=2048, qKS=2^35 — one ~5 GB switching key serves them all)."""
         rgsw_p = self.params.rgsw
         temp = rgsw_p.base_g
         if self._time_optimization:
             for base in sorted(rgsw_p.g_power_map):
                 rgsw_p.change_base_g(base)
-                self._bt_key_map[base] = scheme.key_gen(self.rng, self.params, sk)
+                key = scheme.key_gen(self.rng, self.params, sk, sk_n, ksk)
+                sk_n, ksk = key.sk_n, key.ksk
+                self._bt_key_map[base] = key
             rgsw_p.change_base_g(temp)
         if self._bt_key_map:
             self._bt_key = self._bt_key_map[temp]
         else:
-            self._bt_key = scheme.key_gen(self.rng, self.params, sk)
+            self._bt_key = scheme.key_gen(self.rng, self.params, sk, sk_n, ksk)
             self._bt_key_map[temp] = self._bt_key
 
     @property

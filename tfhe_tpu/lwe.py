@@ -77,6 +77,17 @@ def _inner_ternary(a: np.ndarray, s_signed: np.ndarray, mod: int) -> np.ndarray:
         # classic qKS = 2^14 sets)
         acc = a.astype(np.float32) @ s_signed.astype(np.float32)
         return np.uint64(acc.astype(np.int64) % np.int64(mod))
+    if mod & (mod - 1) == 0:
+        # power-of-two modulus (the accelerated sets' qKS = 2^35): u64
+        # wraparound IS reduction mod 2^k (2^64 is a multiple of the modulus),
+        # so sum the +1/-1 columns directly in the key's native dtype — no
+        # float upcast of the ~5 GB key-switch A block (the build host may
+        # have one CPU core)
+        plus = np.flatnonzero(s_signed == 1)
+        minus = np.flatnonzero(s_signed == -1)
+        acc = a[..., plus].sum(axis=-1, dtype=np.uint64)
+        acc -= a[..., minus].sum(axis=-1, dtype=np.uint64)
+        return acc & np.uint64(mod - 1)
     if n * (mod - 1) < (1 << 53):
         acc = a.astype(np.float64) @ s_signed.astype(np.float64)
         return np.uint64(acc.astype(np.int64) % np.int64(mod))

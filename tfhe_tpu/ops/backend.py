@@ -389,6 +389,23 @@ class JaxBackend:
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
         return np.asarray(jax.device_get(x))
 
+    def _packed_ksk(self, ksk, n: int, q_ks: int, pack_fn):
+        """Pack + upload the switching key, memoized ON the key object:
+        contexts that share one LWESwitchingKey (multi-baseG maps, the
+        accelerated logQ configs — see scheme.key_gen) share a single
+        device-resident packed table instead of re-packing ~600 MB each
+        and holding duplicate copies in HBM."""
+        tag = (pack_fn.__name__, q_ks, id(self.mesh))
+        cache = getattr(ksk, "_device_pack", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(ksk, "_device_pack", cache)
+        if tag not in cache:
+            cache[tag] = self._replicate(pack_fn(
+                np.asarray(ksk.A).reshape(-1, n),
+                np.asarray(ksk.B, dtype=np.uint64).reshape(-1), q_ks))
+        return cache[tag]
+
     # -- setup -------------------------------------------------------------
 
     @staticmethod
@@ -506,9 +523,7 @@ class JaxBackend:
             dk = {
                 "small": True,
                 "dm_table": self._replicate(pack_dm_table(bsk_hat_of(), Q)),
-                "ksk_bf": self._replicate(pack_ksk(
-                    np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
-                    np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
+                "ksk_bf": self._packed_ksk(key.ksk, p.n, p.q_ks, pack_ksk),
             }
         elif self._is_mixed(params):
             rg = params.rgsw
@@ -524,9 +539,7 @@ class JaxBackend:
                 "bsk_pack": self._replicate(pack_bsk(bsk_hat_of(), Q)) if pallas_ok else None,
                 "bsk": None if pallas_ok else self._replicate(bsk_hat_of().astype(np.uint32)),
                 "bsk_sh": None if pallas_ok else self._replicate(mm.shoup(bsk_hat_of(), Q)),
-                "ksk_bf": self._replicate(pack_ksk64(
-                    np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
-                    np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
+                "ksk_bf": self._packed_ksk(key.ksk, p.n, p.q_ks, pack_ksk64),
             }
         elif self._is_small(params):
             use_pallas = self._use_pallas(params)
@@ -535,18 +548,14 @@ class JaxBackend:
                 "bsk": None if use_pallas else self._replicate(bsk_hat_of().astype(np.uint32)),
                 "bsk_sh": None if use_pallas else self._replicate(mm.shoup(bsk_hat_of(), Q)),
                 "bsk_pack": self._replicate(pack_bsk(bsk_hat_of(), Q)) if use_pallas else None,
-                "ksk_bf": self._replicate(pack_ksk(
-                    np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n),
-                    np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1), p.q_ks)),
+                "ksk_bf": self._packed_ksk(key.ksk, p.n, p.q_ks, pack_ksk),
             }
         else:
             use_pallas = self._use_pallas64(params)
-            ka = np.asarray(key.ksk.A, dtype=np.uint64).reshape(-1, p.n)
-            kb = np.asarray(key.ksk.B, dtype=np.uint64).reshape(-1)
             pack = pack_ksk if p.q_ks < (1 << 31) else pack_ksk64
             dk = {
                 "small": False,
-                "ksk_bf": self._replicate(pack(ka, kb, p.q_ks)),
+                "ksk_bf": self._packed_ksk(key.ksk, p.n, p.q_ks, pack),
             }
             if self._use_rns(params):
                 q1, q2 = params.rgsw.rns_primes

@@ -39,19 +39,37 @@ def n_limbs(q_ks: int) -> int:
     return (int(q_ks - 1).bit_length() + _LIMB_BITS - 1) // _LIMB_BITS
 
 
+def pack_limbs_i8(ksk_a: np.ndarray, ksk_b: np.ndarray, L: int) -> np.ndarray:
+    """(A [R, n] uint, B [R] uint) -> int8 [R, L*(n+1)] of 7-bit limbs,
+    limb-major columns. Works in A's native dtype and writes each limb
+    straight into the output buffer: the build host may have a single CPU
+    core, where upcasting the ~10^8-entry key to u64 and concatenating
+    (the obvious formulation) costs 40x the packing itself."""
+    A = np.asarray(ksk_a)
+    Bv = np.asarray(ksk_b, dtype=np.uint64)
+    R, n = A.shape
+    a_bits = A.dtype.itemsize * 8
+    tt = A.dtype.type
+    out = np.empty((R, L * (n + 1)), np.int8)
+    for l in range(L):
+        sh = _LIMB_BITS * l
+        col = out[:, l * (n + 1):(l + 1) * (n + 1)]
+        if sh >= a_bits:
+            col[:, :n] = 0
+        elif sh == 0:
+            col[:, :n] = (A & tt(127)).astype(np.int8)
+        else:
+            col[:, :n] = ((A >> tt(sh)) & tt(127)).astype(np.int8)
+        col[:, n] = ((Bv >> np.uint64(sh)) & np.uint64(127)).astype(np.int8)
+    return out
+
+
 def pack_ksk(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
-    """Flat switching key (A [R, n], B [R], uint64, row = (i*baseKS+v)*dc+j)
+    """Flat switching key (A [R, n], B [R], row = (i*baseKS+v)*dc+j)
     -> int8 [R, L*(n+1)] of 7-bit limbs, limb-major columns (s8 x s8 -> s32
     is MXU-native and exact; 1 byte per limb halves the resident key table
     vs the earlier bf16 packing)."""
-    A = np.asarray(ksk_a, dtype=np.uint64)
-    Bv = np.asarray(ksk_b, dtype=np.uint64).reshape(-1, 1)
-    K = np.concatenate([A, Bv], axis=1)                      # [R, n+1]
-    L = n_limbs(q_ks)
-    cols = []
-    for l in range(L):
-        cols.append(((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.int8))
-    return np.concatenate(cols, axis=1)                      # [R, L*(n+1)]
+    return pack_limbs_i8(ksk_a, np.asarray(ksk_b).reshape(-1), n_limbs(q_ks))
 
 
 def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,

@@ -42,13 +42,10 @@ def pack_ksk64(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
     is MXU-native and exact; halves the resident table vs bf16 — the
     accelerated-set KSK at N=2048/n=1305 drops from ~6 GB to ~3 GB, which is
     what lets the d2=6 sign pipeline run batch 16384 in 16 GB HBM)."""
-    A = np.asarray(ksk_a, dtype=np.uint64)
-    Bv = np.asarray(ksk_b, dtype=np.uint64).reshape(-1, 1)
-    K = np.concatenate([A, Bv], axis=1)
-    L = n_limbs64(q_ks)
-    cols = [((K >> np.uint64(_LIMB_BITS * l)) & np.uint64(127)).astype(np.int8)
-            for l in range(L)]
-    return np.concatenate(cols, axis=1)
+    from .keyswitch32 import pack_limbs_i8
+
+    return pack_limbs_i8(ksk_a, np.asarray(ksk_b).reshape(-1),
+                         n_limbs64(q_ks))
 
 
 @functools.lru_cache(maxsize=None)

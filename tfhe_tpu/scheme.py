@@ -54,11 +54,22 @@ class Backend(Protocol):
         ...
 
 
-def key_gen(rng: BinFHERng, params: BinFHEParams, sk: lwe.LWEPrivateKey) -> BTKey:
-    """Bootstrapping-key generation (binfhe-base-scheme.cpp:39-55)."""
+def key_gen(rng: BinFHERng, params: BinFHEParams, sk: lwe.LWEPrivateKey,
+            sk_n: lwe.LWEPrivateKey | None = None,
+            ksk: lwe.LWESwitchingKey | None = None) -> BTKey:
+    """Bootstrapping-key generation (binfhe-base-scheme.cpp:39-55).
+
+    `sk_n`/`ksk` let a caller reuse an existing ring secret and its
+    key-switching key: the KSK depends only on (sk, sk_n) and the LWE
+    parameters, not on the gadget base, so one KSK can serve every BTKey of a
+    multi-baseG map — and every *context* that shares (n, N, Q, qKS, baseKS)
+    (the accelerated logQ 12..29 sets all do). The switching-key block is
+    ~5 GB at production sizes; regenerating it per base is pure waste."""
     p = params.lwe
-    sk_n = lwe.key_gen(rng, p.N, p.Q)
-    ksk = lwe.key_switch_gen(rng, p, sk, sk_n)
+    if sk_n is None:
+        sk_n = lwe.key_gen(rng, p.N, p.Q)
+    if ksk is None:
+        ksk = lwe.key_switch_gen(rng, p, sk, sk_n)
     sk_n_coeff = modmath.asarray(sk_n.s, p.Q)
     sk_n_ntt = ntt.forward(sk_n_coeff, p.Q)
     if params.rgsw.method == Method.GINX:

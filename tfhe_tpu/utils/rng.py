@@ -132,16 +132,20 @@ class BinFHERng:
         storage (the draw itself is unbiased either way) — at key-switch-key
         scale (~10^8 entries) a u16 result avoids a transient GB of u64."""
         if modulus <= (1 << 63):
-            if dtype != np.uint64 and self._rng is not None \
-                    and modulus <= np.iinfo(dtype).max + 1:
+            if self._rng is not None and modulus <= int(np.iinfo(dtype).max) + 1:
                 if modulus & (modulus - 1) == 0:
-                    # power-of-two bound: mask raw bytes (no rejection loop —
-                    # ~5x faster at the 10^8-draw key-switch-key scale)
-                    raw = np.frombuffer(
-                        self._rng.bytes(size * np.dtype(dtype).itemsize),
+                    # power-of-two bound: full-width word draw + mask (no
+                    # rejection/Lemire loop — 2x faster at the 10^8-draw
+                    # key-switch-key scale, where the accelerated sets'
+                    # qKS = 2^35 A block is ~5 GB of u64)
+                    raw = self._rng.integers(
+                        0, int(np.iinfo(dtype).max) + 1, size=size,
                         dtype=dtype)
-                    return raw & dtype(modulus - 1)
-                return self._rng.integers(0, modulus, size=size, dtype=dtype)
+                    if modulus - 1 != int(np.iinfo(dtype).max):
+                        raw &= dtype(modulus - 1)
+                    return raw
+                if dtype != np.uint64:
+                    return self._rng.integers(0, modulus, size=size, dtype=dtype)
             out = self._uniform_below(size, modulus)
             return out if dtype == np.uint64 else out.astype(dtype)
         # arbitrary-width rejection-free sampling via 128-bit assembly
