@@ -339,13 +339,18 @@ def run_decomp(args) -> dict:
         ct = cc.encrypt(sk, m, "FRESH", P, Q_enc)
 
         def check(out):
-            # reconstruct m from the base-p digit ciphertexts
-            digits = [np.asarray(cc.decrypt(sk, c, p), dtype=np.int64)
-                      for c in out]
-            got = np.zeros(args.func_batch, dtype=np.int64)
-            for d in reversed(digits):
-                got = got * p + d
-            return np.array_equal(got, m)
+            # digit d_k holds (m // p^k) mod p; the LAST digit lives in the
+            # remaining (smaller) plaintext space P // p^(len-1) — decrypting
+            # it at p would misread it (tests/test_func.py:test_eval_decomp)
+            vals = m.copy()
+            for dct in out[:-1]:
+                d = np.asarray(cc.decrypt(sk, dct, p), dtype=np.int64)
+                if not np.array_equal(d, vals % p):
+                    return False
+                vals //= p
+            p_last = max(2, P // p ** (len(out) - 1))
+            d = np.asarray(cc.decrypt(sk, out[-1], p_last), dtype=np.int64)
+            return np.array_equal(d, vals % p_last)
 
         return (lambda: cc.eval_decomp(ct)), check
 

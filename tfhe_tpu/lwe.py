@@ -132,10 +132,13 @@ def decrypt_without_scale(params: LWEParams, sk: LWEPrivateKey, ct: LWECiphertex
 
 
 # ---- homomorphic helpers (lwe-pke.cpp:175-201) -----------------------------
+# Note: `a` components may be stored narrower than u64 (the fused device gate
+# path returns u16 for q <= 2^16), so sums are formed with an explicit u64
+# result dtype before reduction.
 
 def add_eq(ct1: LWECiphertext, ct2: LWECiphertext) -> None:
     m = np.uint64(ct1.modulus)
-    ct1.a = (ct1.a + ct2.a) % m
+    ct1.a = np.add(ct1.a, ct2.a, dtype=np.uint64) % m
     ct1.b = (np.uint64(ct1.b) + np.uint64(ct2.b)) % m
 
 

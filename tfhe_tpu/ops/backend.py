@@ -205,6 +205,34 @@ def build_full_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
         # gate configuration) — half the transfer bytes of u32
         a = a16.astype(jnp.uint32)
         b = b16.astype(jnp.uint32)
+        return _gate_core(a, b, bsk_pack, ksk_bf)
+
+    def _make_pipe_pair(neg2: bool):
+        # two raw ciphertexts; the gate's LWE combination runs in-graph
+        # (binfhe-base-scheme.cpp:58-113 does this on the CPU per ct):
+        # ct1 + ct2 for the window gates, 2*(ct1 - ct2) for XOR_FAST/
+        # XNOR_FAST (selected by the static `neg2`). The host-side
+        # u64 (a1+a2) % q over the whole batch costs more than 10% of an
+        # iteration on a single-core host.
+        @jax.jit
+        def pipe_pair(a1_16, b1_16, a2_16, b2_16, bsk_pack, ksk_bf):
+            a1 = a1_16.astype(jnp.uint32)
+            a2 = a2_16.astype(jnp.uint32)
+            b1 = b1_16.astype(jnp.uint32)
+            b2 = b2_16.astype(jnp.uint32)
+            if neg2:
+                a = mm.mod_u32(mm.mod_u32(a1 + np.uint32(q) - a2, q) * 2, q)
+                b = mm.mod_u32(mm.mod_u32(b1 + np.uint32(q) - b2, q) * 2, q)
+            else:
+                a = mm.mod_u32(a1 + a2, q)
+                b = mm.mod_u32(b1 + b2, q)
+            return _gate_core(a, b, bsk_pack, ksk_bf)
+
+        return pipe_pair
+
+    pipe_pairs = {False: _make_pipe_pair(False), True: _make_pipe_pair(True)}
+
+    def _gate_core(a, b, bsk_pack, ksk_bf):
         B = a.shape[0]
         # (q - a) * 2N/q mod 2N (rgsw-acc-cggi.cpp:151-154)
         t = jnp.where(a == 0, a, uq - a)
@@ -232,7 +260,7 @@ def build_full_gate_pipeline(N: int, Q: int, base_g: int, digits_g_eff: int,
         # outputs are mod fmod = q <= 2^16: return u16 (halves D2H bytes)
         return a_out.astype(jnp.uint16), b_out.astype(jnp.uint16)
 
-    return pipe
+    return pipe, pipe_pairs
 
 
 def _crt_combine_pair(o1, o2, q1: int, q2: int):
@@ -697,39 +725,79 @@ class JaxBackend:
                                  self._to_host(b_out)[:B].astype(np.uint64),
                                  int(fmod))
 
-    def gate_bootstrap(self, params: BinFHEParams, key, gate, ct,
-                       fmod: int):
-        """Fully-fused gate bootstrap from the raw LWE batch (test polynomial
-        built on device). Returns None when this configuration must fall back
-        to the generic accumulator-upload path."""
+    def _gate_fast_path(self, params: BinFHEParams, key, gate, q: int):
+        """Common eligibility + pipeline lookup for the fused gate paths.
+        Returns (pipe, pipe_pair, dk) or None when this configuration must
+        fall back to the generic accumulator-upload path."""
         dk = self._get_device_key(params, key)
         mixed = bool(dk.get("mixed"))
         has_pack = dk.get("bsk_pack") is not None
         if not (dk["small"] or mixed) or not has_pack:
             return None
         p, rg = params.lwe, params.rgsw
-        q = int(ct.modulus)
-        if q != p.q or (2 * rg.N) % q != 0:
-            return None
-        if q > (1 << 16):
+        if q != p.q or (2 * rg.N) % q != 0 or q > (1 << 16):
             return None
         q1 = int(rg.gate_const(gate)) % q
+        digits_eff = rg.digits_g - rg.num_digits_to_throw
+        pipe, pipe_pairs = build_full_gate_pipeline(
+            rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
+            p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(q), q, q1,
+            mixed=mixed)
+        return pipe, pipe_pairs, dk
+
+    def _pad_u16(self, x, Bp: int, q: int) -> np.ndarray:
+        """Host array (or batch-1 scalar) -> u16 zero-padded to the batch
+        bucket. A u16-stored input (the fused paths' own output dtype)
+        passes through without a widening round-trip."""
+        x = np.asarray(x)
+        shape = (Bp,) + x.shape[1:]
+        out = np.zeros(shape, dtype=np.uint16)
+        B = x.shape[0]
+        out[:B] = x if x.dtype == np.uint16 else x.astype(np.uint16)
+        return out
+
+    def gate_bootstrap(self, params: BinFHEParams, key, gate, ct,
+                       fmod: int):
+        """Fully-fused gate bootstrap from the prepped LWE batch (test
+        polynomial built on device). Returns None when this configuration
+        must fall back to the generic accumulator-upload path."""
+        fp = self._gate_fast_path(params, key, gate, int(ct.modulus))
+        if fp is None or int(fmod) != int(ct.modulus):
+            return None
+        pipe, _, dk = fp
+        p = params.lwe
         B = ct.a.shape[0]
         Bp = self._bucket(B)
-        a_pad = np.zeros((Bp, p.n), dtype=np.uint16)
-        a_pad[:B] = np.asarray(ct.a, dtype=np.uint64).astype(np.uint16)
-        b_pad = np.zeros((Bp,), dtype=np.uint16)
-        b_pad[:B] = np.asarray(ct.b, dtype=np.uint64).astype(np.uint16)
-        digits_eff = rg.digits_g - rg.num_digits_to_throw
-        fn = self._shard_pallas(build_full_gate_pipeline(
-            rg.N, rg.Q, rg.base_g, digits_eff, rg.num_digits_to_throw,
-            p.n, p.q_ks, p.base_ks, p.digit_count_ks, int(fmod), q, q1,
-            mixed=mixed), n_batch_args=2, n_out=2)
-        a_out, b_out = fn(self._shard_batch(a_pad), self._shard_batch(b_pad),
+        fn = self._shard_pallas(pipe, n_batch_args=2, n_out=2)
+        a_out, b_out = fn(self._shard_batch(self._pad_u16(ct.a, Bp, p.q)),
+                          self._shard_batch(self._pad_u16(ct.b, Bp, p.q)),
                           dk["bsk_pack"], dk["ksk_bf"])
         return lwe.LWECiphertext(
-            self._to_host(a_out)[:B].astype(np.uint64),
-            self._to_host(b_out)[:B].astype(np.uint64), int(fmod))
+            self._to_host(a_out)[:B], self._to_host(b_out)[:B], int(fmod))
+
+    def gate_bootstrap_pair(self, params: BinFHEParams, key, gate, ct1, ct2,
+                            neg2: bool, fmod: int):
+        """Fused gate bootstrap from TWO raw ciphertexts: the gate's LWE
+        combination (ct1+ct2, or 2*(ct1-ct2) when `neg2`) runs in-graph, so
+        the host never touches a full-batch u64 array (the combination alone
+        costs >10% of an iteration on a single-core host). Outputs stay u16
+        (mod fmod = q <= 2^16)."""
+        fp = self._gate_fast_path(params, key, gate, int(ct1.modulus))
+        if fp is None or int(fmod) != int(ct1.modulus):
+            return None
+        _, pipe_pairs, dk = fp
+        p = params.lwe
+        B = ct1.a.shape[0]
+        Bp = self._bucket(B)
+        fn = self._shard_pallas(pipe_pairs[bool(neg2)],
+                                n_batch_args=4, n_out=2)
+        a_out, b_out = fn(self._shard_batch(self._pad_u16(ct1.a, Bp, p.q)),
+                          self._shard_batch(self._pad_u16(ct1.b, Bp, p.q)),
+                          self._shard_batch(self._pad_u16(ct2.a, Bp, p.q)),
+                          self._shard_batch(self._pad_u16(ct2.b, Bp, p.q)),
+                          dk["bsk_pack"], dk["ksk_bf"])
+        return lwe.LWECiphertext(
+            self._to_host(a_out)[:B], self._to_host(b_out)[:B], int(fmod))
 
     def func_bootstrap(self, params: BinFHEParams, key, fv: np.ndarray,
                        ct, fmod: int):

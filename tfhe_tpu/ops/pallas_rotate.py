@@ -67,9 +67,23 @@ def _cond_sub(x, c: int):
     return jnp.where(x >= cc, x - cc, x)
 
 
+def default_tiles() -> tuple[int, int]:
+    """Kernel tiling (batch tile BT, inner sub-tile bt), overridable via
+    TFHE_TPU_BT / TFHE_TPU_BTI for hardware retuning
+    (scripts/tune_gate.py sweeps these on the TPU)."""
+    import os
+
+    return (int(os.environ.get("TFHE_TPU_BT", 256)),
+            int(os.environ.get("TFHE_TPU_BTI", 32)))
+
+
 @functools.lru_cache(maxsize=None)
 def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
-                        throw: int, n: int, BT: int = 256, bt: int = 32):
+                        throw: int, n: int, BT: int = 0, bt: int = 0):
+    if not BT or not bt:
+        dBT, dbt = default_tiles()
+        return build_pallas_rotate(N, Q, base_g, digits_g_eff, throw, n,
+                                   BT or dBT, bt or dbt)
     """Returns fn(acc [B,2,N] u32, a_idx [B,n] i32, bsk_pack) -> acc [B,2,N].
 
     bsk_pack: [n, 8*d2, N] uint32 — per round, row ((vs*2 + key)*2 + out)*d2

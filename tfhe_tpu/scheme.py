@@ -229,16 +229,26 @@ def eval_bin_gate(backend: Backend, params: BinFHEParams, gate: Gate, key: BTKey
         out = eval_not(params, ct_or) if gate == Gate.XNOR else ct_or
         return _unbatch(out, was_scalar)
 
+    if key is None:
+        raise RuntimeError("Bootstrapping keys have not been generated. "
+                           "Please call bt_key_gen before calling bootstrapping.")
+    neg2 = gate in (Gate.XOR_FAST, Gate.XNOR_FAST)
+    gbp = getattr(backend, "gate_bootstrap_pair", None)
+    if gbp is not None and ct1b.modulus == ct2b.modulus:
+        # fused fast path: the LWE combination (ct1+ct2, or 2*(ct1-ct2) for
+        # the FAST xor variants) runs inside the device graph — the host
+        # never materializes a combined u64 batch
+        out = gbp(params, key, gate, ct1b, ct2b, neg2, ct1b.modulus)
+        if out is not None:
+            return _unbatch(out, was_scalar)
+
     prep = ct1b.copy()
-    if gate in (Gate.XOR_FAST, Gate.XNOR_FAST):
+    if neg2:
         lwe.sub_eq(prep, ct2b)
         lwe.add_eq(prep, prep)
     else:
         lwe.add_eq(prep, ct2b)
 
-    if key is None:
-        raise RuntimeError("Bootstrapping keys have not been generated. "
-                           "Please call bt_key_gen before calling bootstrapping.")
     gb = getattr(backend, "gate_bootstrap", None)
     if gb is not None:
         out = gb(params, key, gate, prep, ct1b.modulus)
