@@ -92,10 +92,53 @@ def sub(a, b, modulus: int):
     return (np.asarray(a, dtype=_U64) + m - np.asarray(b, dtype=_U64)) % m
 
 
+@functools.lru_cache(maxsize=None)
+def _crt_split(modulus: int) -> tuple[int, int, int] | None:
+    """Factor a composite modulus into two coprime halves < 2^32 (the
+    accelerated sets' Q = q1*q2 of two ~27-bit NTT primes). Returns
+    (q1, q2, garner) or None when no such split exists."""
+    if modulus < _SMALL_LIMIT or modulus >= (1 << 62):
+        return None
+    # trial division by odd candidates below 2^32 is hopeless in general, but
+    # the moduli we meet are products of two primes of similar size:
+    # Pollard-rho from the number-theory kit finds them instantly
+    from ..utils.numtheory import _factorize, is_prime
+
+    if is_prime(modulus):
+        return None
+    try:
+        primes = _factorize(modulus)
+    except Exception:
+        return None
+    if len(primes) != 2:
+        return None
+    q1, q2 = max(primes), min(primes)
+    if q1 * q2 != modulus or q1 >= (1 << 32):
+        return None
+    return q1, q2, pow(q2, -1, q1)
+
+
+def _crt_mul(a, b, q1: int, q2: int, garner: int):
+    """(a*b) mod q1*q2 via per-prime u64 lanes (exact: qi < 2^32) + Garner
+    recombination — ~4x fewer element passes than 64-bit Montgomery, which
+    matters at bootstrapping-key scale (~10^8 products) on a 1-core host."""
+    u1, u2, g = _U64(q1), _U64(q2), _U64(garner)
+    a = np.asarray(a, dtype=_U64)
+    b = np.asarray(b, dtype=_U64)
+    r1 = ((a % u1) * (b % u1)) % u1
+    r2 = ((a % u2) * (b % u2)) % u2
+    t = (((r1 + u1 - r2 % u1) % u1) * g) % u1    # (r1-r2)*q2^-1 mod q1
+    return t * u2 + r2
+
+
 def mul(a, b, modulus: int):
     """Exact modular product for any modulus < 2^62."""
     if modulus < _SMALL_LIMIT:
         return (np.asarray(a, dtype=_U64) * np.asarray(b, dtype=_U64)) % _U64(modulus)
+    big = np.asarray(a).size >= (1 << 16)
+    split = _crt_split(modulus) if big else None
+    if split is not None:
+        return _crt_mul(a, b, *split)
     return MontgomeryEngine(modulus).mul(a, b)
 
 
