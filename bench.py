@@ -4,9 +4,14 @@ on the active JAX devices.
 
   gate    EvalBinGate(NAND)  STD128 classic        (time-estimate.cpp:31-58)
   func    EvalFunc x^3 mod p logQ=12, throw 1      (time-estimate.cpp:60-96)
-  floor   EvalFloor          logQ=11               (time-estimate.cpp:98-123)
-  sign    EvalSign           logQ=17               (time-estimate.cpp:125-156)
-  decomp  EvalDecomp         logQ=23               (time-estimate.cpp:158-190)
+  floor   EvalFloor          logQ=11, throw 1      (time-estimate.cpp:98-123)
+  sign    EvalSign           logQ=17, throw 1      (time-estimate.cpp:125-156)
+  decomp  EvalDecomp         logQ=23, throw 1      (time-estimate.cpp:158-190)
+
+All four functional configs pass numDigitsToThrow=1, matching the
+reference bench (GenerateBinFHEContext(STD128, ..., 0, 1) at
+time-estimate.cpp:36,73,130,163 — the earlier throw=0 runs did 50%% more
+digit rows than the reference for sign/decomp).
 
 Prints ONE JSON line on stdout. The headline metric stays the gate throughput
 (vs_baseline against 625 bootstraps/s/chip = 10k/s on v5e-16, BASELINE.md);
@@ -306,7 +311,7 @@ def run_floor(args) -> dict:
                     np.asarray(cc.decrypt(sk, out, p // 2), dtype=np.int64),
                     m // 2))
 
-    return _run_functional("floor", 11, False, 0, args.func_batch,
+    return _run_functional("floor", 11, False, 1, args.func_batch,
                            args.func_iters, make)
 
 
@@ -324,7 +329,7 @@ def run_sign(args) -> dict:
                     np.asarray(cc.decrypt(sk, out, 2), dtype=np.int64),
                     (delta >= 0).astype(np.int64)))
 
-    return _run_functional("sign", 17, False, 0, args.func_batch,
+    return _run_functional("sign", 17, False, 1, args.func_batch,
                            args.sign_iters, make)
 
 
@@ -354,7 +359,7 @@ def run_decomp(args) -> dict:
 
         return (lambda: cc.eval_decomp(ct)), check
 
-    return _run_functional("decomp", 23, False, 0, args.func_batch,
+    return _run_functional("decomp", 23, False, 1, args.func_batch,
                            args.sign_iters, make)
 
 
