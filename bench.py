@@ -445,8 +445,15 @@ def run_ckksboot(args) -> dict:
     # SPARSE_TERNARY for the same reason)
     K, deg, hw = (28.0, 44, 16 if args.smoke else 64)
     L = _cf.bootstrap_depth(budget, cheb_deg=deg, double_angles=3) + 2
-    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, L, 28),
-                   scale=float(1 << 28))
+    # 30-bit limbs (the widest the device tower kernels take): the
+    # FLEXIBLEAUTO canonical-scale recurrence sf[l-1] = sf[l]^2/q_l
+    # DOUBLES the accumulated per-limb scale deviation each level — with
+    # 28-bit limbs over this 18-level chain the compounded drift pushed
+    # plaintext encodings past int64 (the earlier driver-run failure,
+    # err=0.04); at 30 bits the drift stays within ~e^5 of the nominal
+    # scale, which the exact float64 scale tracking absorbs
+    p = CKKSParams(N=N, dcrt=DCRTParams.create(N, L, 30),
+                   scale=float(1 << 30))
     ctx = CKKSContext(p, seed=20260818)
     t0 = _t.time()
     sk, pk = ctx.key_gen(secret_dist="sparse", hamming_weight=hw)

@@ -62,6 +62,27 @@ def _mulmod_lazy(a, b, b_sh, Q: int):
     return a * b - t * np.uint32(Q)
 
 
+def _mulhi_presplit(a, b_lo, b_hi):
+    """High 32 bits of a * (b_hi<<16 | b_lo) with the b halves PRE-SPLIT —
+    two fewer VPU ops per multiply than mm.mulhi32, which matters when the
+    multiplicand is a precomputed table row (the NTT twiddles): the split
+    moves to pack time."""
+    a_lo = a & np.uint32(0xFFFF)
+    a_hi = a >> np.uint32(16)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    t = (ll >> np.uint32(16)) + (lh & np.uint32(0xFFFF)) + (hl & np.uint32(0xFFFF))
+    return a_hi * b_hi + (lh >> np.uint32(16)) + (hl >> np.uint32(16)) + \
+        (t >> np.uint32(16))
+
+
+def _mulmod_lazy_tab(a, b, b_sh_lo, b_sh_hi, Q: int):
+    """_mulmod_lazy with the Shoup companion pre-split into 16-bit halves."""
+    t = _mulhi_presplit(a, b_sh_lo, b_sh_hi)
+    return a * b - t * np.uint32(Q)
+
+
 def _cond_sub(x, c: int):
     cc = np.uint32(c)
     return jnp.where(x >= cc, x - cc, x)
@@ -112,10 +133,13 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
     inv_tab = np.concatenate([sch["inv_w"], sch["untwist"][None]], axis=0)
     twf, twf_sh = u32(fwd_tab), mm.shoup(fwd_tab, Q)
     twi, twi_sh = u32(inv_tab), mm.shoup(inv_tab, Q)
+    # Shoup companions pre-split into 16-bit halves (see _mulhi_presplit)
+    twf_lo, twf_hi = twf_sh & np.uint32(0xFFFF), twf_sh >> np.uint32(16)
+    twi_lo, twi_hi = twi_sh & np.uint32(0xFFFF), twi_sh >> np.uint32(16)
 
     def make_kernel(bT: int, bti: int):
-        def kernel(acc_in, a_ref, bsk, twf_ref, twf_sh_ref, twi_ref,
-                   twi_sh_ref, acc_out):
+        def kernel(acc_in, a_ref, bsk, twf_ref, twf_lo_ref, twf_hi_ref,
+                   twi_ref, twi_lo_ref, twi_hi_ref, acc_out):
             r = pl.program_id(1)
 
             @pl.when(r == 0)
@@ -130,13 +154,15 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
 
             def fwd_ntt(x):
                 """Canonical [P,bt,N] -> lazy (< 2Q) bit-reversed eval order."""
-                x = _mulmod_lazy(x, tab(twf_ref, 0), tab(twf_sh_ref, 0), Q)
+                x = _mulmod_lazy_tab(x, tab(twf_ref, 0), tab(twf_lo_ref, 0),
+                                     tab(twf_hi_ref, 0), Q)
                 for k in range(logn):
                     h = N >> (k + 1)
                     m = logn - 1 - k   # odd-half lanes have bit m of p set
-                    w, wsh = tab(twf_ref, k + 1), tab(twf_sh_ref, k + 1)
+                    w = tab(twf_ref, k + 1)
+                    wlo, whi = tab(twf_lo_ref, k + 1), tab(twf_hi_ref, k + 1)
                     d = _roll(x, h, N) + np.uint32(2 * Q) - x
-                    t = _mulmod_lazy(d, w, wsh, Q)
+                    t = _mulmod_lazy_tab(d, w, wlo, whi, Q)
                     s = _cond_sub(x + _roll(x, -h, N), 2 * Q)
                     x = jnp.where(odd[m], t, s)
                 return x
@@ -145,13 +171,15 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
                 """Canonical [P,bt,N] bit-reversed eval order -> canonical."""
                 for k in range(logn):
                     h = 1 << k
-                    w, wsh = tab(twi_ref, k), tab(twi_sh_ref, k)
-                    t = _mulmod_lazy(x, w, wsh, Q)
+                    w = tab(twi_ref, k)
+                    wlo, whi = tab(twi_lo_ref, k), tab(twi_hi_ref, k)
+                    t = _mulmod_lazy_tab(x, w, wlo, whi, Q)
                     y = jnp.where(odd[k],
                                   _roll(x, h, N) + np.uint32(2 * Q) - t,
                                   x + _roll(t, -h, N))
                     x = _cond_sub(y, 2 * Q)
-                x = _mulmod_lazy(x, tab(twi_ref, logn), tab(twi_sh_ref, logn), Q)
+                x = _mulmod_lazy_tab(x, tab(twi_ref, logn), tab(twi_lo_ref, logn),
+                                     tab(twi_hi_ref, logn), Q)
                 return _cond_sub(x, Q)
 
             def neg_wrap(x, s: int):
@@ -232,14 +260,8 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8 * d2, N), lambda i, r: (r, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((logn + 1, N), lambda i, r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((logn + 1, N), lambda i, r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((logn + 1, N), lambda i, r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((logn + 1, N), lambda i, r: (0, 0),
-                             memory_space=pltpu.VMEM),
+                *([pl.BlockSpec((logn + 1, N), lambda i, r: (0, 0),
+                                memory_space=pltpu.VMEM)] * 6),
             ],
             out_specs=pl.BlockSpec((2, bT, N), lambda i, r: (0, i, 0),
                                    memory_space=pltpu.VMEM),
@@ -247,7 +269,7 @@ def build_pallas_rotate(N: int, Q: int, base_g: int, digits_g_eff: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret_mode(),
-        )(acc_t, a_t, bsk_pack, twf, twf_sh, twi, twi_sh)
+        )(acc_t, a_t, bsk_pack, twf, twf_lo, twf_hi, twi, twi_lo, twi_hi)
         return jnp.transpose(out, (1, 0, 2))
 
     return jax.jit(rotate)

@@ -42,15 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import modmath32 as mm
 from .ntt_sched import schedule
-from .pallas_rotate import _interpret_mode, _mulmod_lazy, _roll, _cond_sub
+from .pallas_rotate import (_interpret_mode, _mulmod_lazy, _mulmod_lazy_tab, _roll, _cond_sub)
 
 _Z = np.uint32(0)
 
 
 def _pack_lane_tab(tab: np.ndarray, qi: int) -> np.ndarray:
-    """[rows, N] uint64 -> [2, rows, N] uint32 (value, Shoup companion)."""
+    """[rows, N] uint64 -> [3, rows, N] uint32 (value, Shoup companion lo/hi
+    16-bit halves — pre-split so the kernel's table multiplies skip two VPU
+    ops each, see pallas_rotate._mulhi_presplit)."""
     t = np.asarray(tab, dtype=np.uint64)
-    return np.ascontiguousarray(np.stack([t.astype(np.uint32), mm.shoup(t, qi)]))
+    sh = mm.shoup(t, qi)
+    return np.ascontiguousarray(np.stack(
+        [t.astype(np.uint32), sh & np.uint32(0xFFFF), sh >> np.uint32(16)]))
 
 
 def default_tiles() -> tuple[int, int]:
@@ -119,7 +123,8 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
 
                 def tab(ref, k):
                     return (ref[0, k:k + 1].reshape(1, 1, N),
-                            ref[1, k:k + 1].reshape(1, 1, N))
+                            ref[1, k:k + 1].reshape(1, 1, N),
+                            ref[2, k:k + 1].reshape(1, 1, N))
 
                 # reconstruct this lane's key values from Shoup companions,
                 # once per (round, tile): b = hi32(b'*qi) + (lo32(b'*qi) != 0)
@@ -127,14 +132,14 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                 ekv = mm.mulhi32(sh, uq) + ((sh * uq) != _Z).astype(jnp.uint32)
 
                 def fwd_ntt(x):
-                    w, wsh = tab(twf_ref, 0)
-                    x = _mulmod_lazy(x, w, wsh, qi)
+                    w, wlo, whi = tab(twf_ref, 0)
+                    x = _mulmod_lazy_tab(x, w, wlo, whi, qi)
                     for k in range(logn):
                         h = N >> (k + 1)
                         m = logn - 1 - k
-                        w, wsh = tab(twf_ref, k + 1)
+                        w, wlo, whi = tab(twf_ref, k + 1)
                         d = _roll(x, h, N) + np.uint32(2 * qi) - x
-                        t = _mulmod_lazy(d, w, wsh, qi)
+                        t = _mulmod_lazy_tab(d, w, wlo, whi, qi)
                         s = _cond_sub(x + _roll(x, -h, N), 2 * qi)
                         x = jnp.where(odd[m], t, s)
                     return x
@@ -142,14 +147,14 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                 def inv_ntt(x):
                     for k in range(logn):
                         h = 1 << k
-                        w, wsh = tab(twi_ref, k)
-                        t = _mulmod_lazy(x, w, wsh, qi)
+                        w, wlo, whi = tab(twi_ref, k)
+                        t = _mulmod_lazy_tab(x, w, wlo, whi, qi)
                         y = jnp.where(odd[k],
                                       _roll(x, h, N) + np.uint32(2 * qi) - t,
                                       x + _roll(t, -h, N))
                         x = _cond_sub(y, 2 * qi)
-                    w, wsh = tab(twi_ref, logn)
-                    x = _mulmod_lazy(x, w, wsh, qi)
+                    w, wlo, whi = tab(twi_ref, logn)
+                    x = _mulmod_lazy_tab(x, w, wlo, whi, qi)
                     return _cond_sub(x, qi)
 
                 def neg_wrap(x, s: int):
@@ -268,7 +273,7 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
         a_t = a_idx.T.reshape(n, B, 1)
         acc_spec = pl.BlockSpec((2, bT, N), lambda i, r: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-        tab_spec = pl.BlockSpec((2, logn + 1, N), lambda i, r: (0, 0, 0),
+        tab_spec = pl.BlockSpec((3, logn + 1, N), lambda i, r: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             make_kernel(bT, bti),
