@@ -518,7 +518,7 @@ def main():
     ap.add_argument("--func-iters", type=int, default=3)
     ap.add_argument("--sign-iters", type=int, default=2,
                     help="iterations for the multi-round sign/decomp ops")
-    ap.add_argument("--ops", default="gate,func,floor,sign,decomp,ckks,ckksboot")
+    ap.add_argument("--ops", default="gate,func,floor,ckks,sign,decomp,ckksboot")
     ap.add_argument("--ckks-batch", type=int, default=8)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TFHE_BENCH_BUDGET", 1380.0)),
@@ -548,12 +548,15 @@ def main():
                "sign": run_sign, "decomp": run_decomp, "ckks": run_ckks,
                "ckksboot": run_ckksboot}
     # Cold-cost estimates (s): keygen + compile + iterations, measured on the
-    # v5e worker with an empty persistent cache. With a warm cache each op is
-    # several times cheaper, so finishing early lets later ops in.
-    est_cold = {"gate": 900.0, "func": 420.0, "floor": 360.0, "sign": 420.0,
-                "decomp": 480.0, "ckks": 240.0, "ckksboot": 420.0}
-    est_warm = {"gate": 260.0, "func": 180.0, "floor": 140.0, "sign": 200.0,
-                "decomp": 260.0, "ckks": 120.0, "ckksboot": 240.0}
+    # v5e worker 2026-08-19 with an empty persistent cache (run1: gate 270,
+    # func 210, floor 126, sign 368, decomp 336, ckks 17, ckksboot 690).
+    # With a warm cache each op is several times cheaper, so finishing early
+    # lets later ops in. The op order puts the cheap rows first so a cold
+    # driver run still captures all five reference time-estimate ops + ckks.
+    est_cold = {"gate": 310.0, "func": 240.0, "floor": 160.0, "sign": 400.0,
+                "decomp": 370.0, "ckks": 50.0, "ckksboot": 740.0}
+    est_warm = {"gate": 160.0, "func": 160.0, "floor": 110.0, "sign": 240.0,
+                "decomp": 270.0, "ckks": 40.0, "ckksboot": 260.0}
     cache_warm = _cache_stats("start") > 2
     est = est_warm if cache_warm else est_cold
     for op in ops:
