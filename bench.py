@@ -402,9 +402,11 @@ def run_ckks(args) -> dict:
             raise RuntimeError(f"ckks device mult wrong: err={err}")
     log(f"[ckks] first batch (compile + run + verify): {t_compile:.1f}s")
 
+    import jax as _jax
+
     def step():
         r = dctx.eval_mult(d, d)
-        _ = _np.asarray(r.c0[0])        # force D2H of a slice (tunnel sync)
+        _jax.block_until_ready((r.c0, r.c1))   # full-result sync
 
     med, times = _median_timed(step, args.func_iters,
                                discard=1 if args.func_iters > 1 else 0)

@@ -65,25 +65,11 @@ def schedule(N: int, Q: int):
     fwd_w = np.stack([stage_vec(omega, N >> (k + 1)) for k in range(logn)])
     inv_w = np.stack([stage_vec(omega_inv, 1 << k) for k in range(logn)])
 
-    # Monomial ladder rows: eval index i holds the point psi^(2*br(i)+1), so
-    # eval(X^a)[i] = psi^(a*(2*br(i)+1)) = prod over set bits k of a of
-    # mono[k][i], with mono[k][i] = psi^(2^k*(2*br(i)+1)). a < 2N needs bits
-    # 0..logn (row logn is the constant -1 = psi^N). Lets the blind-rotation
-    # kernels apply (X^a - 1) in the evaluation domain — the reference's
-    # "monomials in FFT form" trick (rgsw-cryptoparameters.h:141-159) done as
-    # logn+1 lane-parallel conditional multiplies instead of a 2N-row table.
-    br = np.asarray(t["bitrev"], dtype=np.int64)
-    mono = np.stack([
-        np.array([pow(psi, ((1 << k) * (2 * int(b) + 1)) % (2 * N), Q)
-                  for b in br], dtype=np.uint64)
-        for k in range(logn + 1)])
-
     return {
         "twist": t["twist"],
         "untwist": t["untwist"],
         "fwd_w": fwd_w,
         "inv_w": inv_w,
-        "mono": mono,
         "bitrev": t["bitrev"],
     }
 

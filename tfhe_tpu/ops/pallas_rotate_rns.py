@@ -100,13 +100,12 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
         sch = schedule(N, qi)
         fwd = np.concatenate([sch["twist"][None], sch["fwd_w"]], axis=0)
         inv = np.concatenate([sch["inv_w"], sch["untwist"][None]], axis=0)
-        tabs.append((_pack_lane_tab(fwd, qi), _pack_lane_tab(inv, qi),
-                     _pack_lane_tab(sch["mono"], qi)))
-    (twf1, twi1, mon1), (twf2, twi2, mon2) = tabs
+        tabs.append((_pack_lane_tab(fwd, qi), _pack_lane_tab(inv, qi)))
+    (twf1, twi1), (twf2, twi2) = tabs
 
     def make_kernel(bT: int, bti: int):
-        def kernel(a1_in, a2_in, a_ref, bsk, twf1_r, twi1_r, mon1_r,
-                   twf2_r, twi2_r, mon2_r, a1_out, a2_out):
+        def kernel(a1_in, a2_in, a_ref, bsk, twf1_r, twi1_r, twf2_r, twi2_r,
+                   a1_out, a2_out):
             r = pl.program_id(1)
 
             @pl.when(r == 0)
@@ -117,7 +116,7 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
             odd = [((lane >> k) & 1) == 1 for k in range(logn)]
 
-            def make_lane(qi: int, twf_ref, twi_ref, mon_ref, row_base: int):
+            def make_lane(qi: int, twf_ref, twi_ref, row_base: int):
                 """Single-limb mod-qi helpers over [P, bt, N] u32 tensors —
                 the same primitives as ops/pallas_rotate.py's kernel."""
                 uq = np.uint32(qi)
@@ -158,15 +157,20 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                     x = _mulmod_lazy_tab(x, w, wlo, whi, qi)
                     return _cond_sub(x, qi)
 
-                def mono_mul(x, idx):
-                    """X^idx * x in the evaluation domain (see
-                    pallas_rotate.py mono_mul): one conditional Shoup
-                    multiply per bit of idx in [0, 2N). Result lazy < 2qi."""
-                    for k in range(logn + 1):
-                        w, wlo, whi = tab(mon_ref, k)
-                        t = _mulmod_lazy_tab(x, w, wlo, whi, qi)
-                        x = jnp.where(((idx >> k) & 1) == 1, t, x)
-                    return x
+                def neg_wrap(x, s: int):
+                    wrap = x[..., N - s:]
+                    wrap = jnp.where(wrap == 0, wrap, uq - wrap)
+                    return jnp.concatenate([wrap, x[..., :N - s]], axis=-1)
+
+                def rot_sub(c, idx):
+                    out = c
+                    for k in range(logn):
+                        bit = ((idx >> k) & 1) == 1
+                        out = jnp.where(bit, neg_wrap(out, 1 << k), out)
+                    bit_n = ((idx >> logn) & 1) == 1
+                    out = jnp.where(bit_n,
+                                    jnp.where(out == 0, out, uq - out), out)
+                    return mm.submod(out, c, qi)
 
                 def ext_product(xh, l):
                     """xh [2,bt,N] lazy digit evals; returns [4,bt,N] lazy
@@ -184,10 +188,10 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                             terms.append(acc_t)
                     return jnp.concatenate(terms, axis=0)
 
-                return fwd_ntt, inv_ntt, mono_mul, ext_product
+                return fwd_ntt, inv_ntt, rot_sub, ext_product
 
-            lane1 = make_lane(q1, twf1_r, twi1_r, mon1_r, 0)
-            lane2 = make_lane(q2, twf2_r, twi2_r, mon2_r, 4 * d2)
+            lane1 = make_lane(q1, twf1_r, twi1_r, 0)
+            lane2 = make_lane(q2, twf2_r, twi2_r, 4 * d2)
 
             # ---- pair (uint32 lo/hi) helpers for the CRT/decompose step ----
             def _addc(a, b):
@@ -243,19 +247,14 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                     u1 = t1 if u1 is None else u1 + t1
                     u2 = t2 if u2 is None else u2 + t2
 
-                # eval-domain monomials (mono_mul ladder) -> ONE 2-poly
-                # inverse NTT per lane per round (the reference's 2-IFFT
-                # structure, bootstrapping.cu:584-618)
+                c1 = lane1[1](mm.mod_u32(u1, q1))                # [4,bt,N]
+                c2 = lane2[1](mm.mod_u32(u2, q2))
                 idx_pos = a_ref[:, pl.ds(off, bti)]              # [1,bt,1]
                 idx_neg = (np.int32(2 * N) - idx_pos) & two_n_mask
-                u1 = mm.mod_u32(u1, q1)                          # [4,bt,N]
-                u2 = mm.mod_u32(u2, q2)
-                s1 = (lane1[2](u1[0:2], idx_pos) + np.uint32(2 * q1) - u1[0:2]) \
-                    + (lane1[2](u1[2:4], idx_neg) + np.uint32(2 * q1) - u1[2:4])
-                s2 = (lane2[2](u2[0:2], idx_pos) + np.uint32(2 * q2) - u2[0:2]) \
-                    + (lane2[2](u2[2:4], idx_neg) + np.uint32(2 * q2) - u2[2:4])
-                upd1 = lane1[1](mm.mod_u32(s1, q1))              # [2,bt,N]
-                upd2 = lane2[1](mm.mod_u32(s2, q2))
+                upd1 = mm.addmod(lane1[2](c1[0:2], idx_pos),
+                                 lane1[2](c1[2:4], idx_neg), q1)
+                upd2 = mm.addmod(lane2[2](c2[0:2], idx_pos),
+                                 lane2[2](c2[2:4], idx_neg), q2)
                 a1_out[:, pl.ds(off, bti)] = mm.addmod(r1, upd1, q1)
                 a2_out[:, pl.ds(off, bti)] = mm.addmod(r2, upd2, q2)
                 return carry
@@ -285,7 +284,7 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8 * d2, N), lambda i, r: (r, 0, 0),
                              memory_space=pltpu.VMEM),
-                tab_spec, tab_spec, tab_spec, tab_spec, tab_spec, tab_spec,
+                tab_spec, tab_spec, tab_spec, tab_spec,
             ],
             out_specs=(acc_spec, acc_spec),
             out_shape=(jax.ShapeDtypeStruct((2, B, N), jnp.uint32),
@@ -293,7 +292,7 @@ def build_pallas_rotate_rns(N: int, q1: int, q2: int, base_g: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret_mode(),
-        )(a1, a2, a_t, bsk_sh, twf1, twi1, mon1, twf2, twi2, mon2)
+        )(a1, a2, a_t, bsk_sh, twf1, twi1, twf2, twi2)
         return (jnp.transpose(out[0], (1, 0, 2)),
                 jnp.transpose(out[1], (1, 0, 2)))
 
