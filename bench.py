@@ -520,7 +520,10 @@ def main():
     ap.add_argument("--func-iters", type=int, default=3)
     ap.add_argument("--sign-iters", type=int, default=2,
                     help="iterations for the multi-round sign/decomp ops")
-    ap.add_argument("--ops", default="gate,func,floor,ckks,sign,decomp,ckksboot")
+    # order: headline first, then the VERDICT-target rows (sign/decomp reuse
+    # func's LWE keys), then floor (already beats its target — safest to
+    # budget-sacrifice), then the pke rows
+    ap.add_argument("--ops", default="gate,func,sign,decomp,floor,ckks,ckksboot")
     ap.add_argument("--ckks-batch", type=int, default=8)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TFHE_BENCH_BUDGET", 1380.0)),
@@ -544,6 +547,12 @@ def main():
     enable_compile_cache()
     import jax
     log(f"devices: {jax.devices()}")
+    # platform_version is hashed into every XLA cache key (cache_key.py
+    # _hash_platform); log it to correlate cache misses with remote-worker
+    # restarts — 2026-08-19 showed 3 distinct keys for byte-identical gate
+    # modules across bench runs while back-to-back runs were stable
+    log(f"platform_version: "
+        f"{jax.devices()[0].client.platform_version!r}")
 
     ops = ["gate"] if args.smoke else [o for o in args.ops.split(",") if o]
     runners = {"gate": run_gate, "func": run_func, "floor": run_floor,
