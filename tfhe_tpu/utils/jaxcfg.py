@@ -28,12 +28,62 @@ def _host_tag() -> str:
     return platform.machine()
 
 
+def _stable_platform_version(raw: str) -> str:
+    """Strip ephemeral build metadata from a PJRT platform_version string.
+
+    The remote worker's platform_version embeds a build timestamp / CL line
+    ("Built on Nov 12 ... cl/831091709") that can differ across worker
+    restarts even when the executable format is unchanged; since
+    jax._src.cache_key._hash_platform hashes the whole string, every restart
+    invalidated the persistent compile cache (three different cache keys for
+    byte-identical modules were observed on 2026-08-19 — STATUS.md gap 5).
+    Keep only the tokens that actually gate executable compatibility: the
+    serialization/compile-cache/compat version tags and the TPU generation.
+    """
+    keep = []
+    for line in raw.replace(";", "\n").splitlines():
+        t = line.strip()
+        if not t:
+            continue
+        low = t.lower()
+        if low.startswith("built on") or "cl/" in low:
+            continue  # build stamp: ephemeral, not a compatibility boundary
+        keep.append(t)
+    return "; ".join(keep)
+
+
+def _patch_platform_version_hash() -> None:
+    """Make the XLA cache key hash the *stable* platform version.
+
+    Opt-out with TFHE_TPU_RAW_PLATFORM_KEY=1. If the worker's executable
+    format does change (the compat/SerializedExecutable tokens), those tokens
+    remain in the hash, so stale entries still miss."""
+    if os.environ.get("TFHE_TPU_RAW_PLATFORM_KEY"):
+        return
+    try:
+        from jax._src import cache_key as _ck
+    except ImportError:  # pragma: no cover - future jax refactors
+        return
+    if getattr(_ck._hash_platform, "_tfhe_tpu_stable", False):
+        return
+
+    def _hash_platform(hash_obj, backend):
+        _ck._hash_string(hash_obj, backend.platform)
+        _ck._hash_string(
+            hash_obj, _stable_platform_version(backend.platform_version))
+
+    _hash_platform._tfhe_tpu_stable = True
+    _ck._hash_platform = _hash_platform
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Enable the persistent XLA compilation cache.
 
     The blind-rotation graphs take minutes to compile; caching makes repeat
     runs (tests, benchmarks) start instantly."""
     import jax
+
+    _patch_platform_version_hash()
 
     cache_dir = path or os.environ.get(
         "TFHE_TPU_JAX_CACHE", os.path.expanduser("~/.cache/tfhe_tpu_jax"))
