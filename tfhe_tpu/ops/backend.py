@@ -48,6 +48,24 @@ import functools
 import os
 import warnings
 
+from ..utils.profiling import profile_log, tic
+
+_PROFILE = os.environ.get("TFHE_TPU_PROFILE", "") not in ("", "0")
+
+
+def _prof_mark(label: str, t0: float, *arrays) -> float:
+    """Phase timer for the device pipelines, active only under
+    TFHE_TPU_PROFILE (the sync it forces would otherwise serialize the
+    async dispatch chain). Pulls one element per array because the remote
+    worker's block_until_ready returns before execution completes."""
+    if not _PROFILE:
+        return t0
+    for x in arrays:
+        if x is not None and hasattr(x, "ravel"):
+            np.asarray(jax.device_get(x.ravel()[0]))
+    profile_log(label, t0)
+    return tic()
+
 # buffer donation (single-use accumulators between the rotation and tail
 # jits) is a TPU HBM optimization; the CPU backend cannot honor it and warns
 warnings.filterwarnings(
@@ -809,6 +827,7 @@ class JaxBackend:
         Returns None when this configuration lacks the fast path (non-RNS,
         multi-chip mesh, or oversized moduli) — the caller falls back to the
         host-built-accumulator route."""
+        t0 = tic()
         dk = self._get_device_key(params, key)
         if dk.get("bsk_rns") is None or self.mesh is not None:
             return None
@@ -838,18 +857,25 @@ class JaxBackend:
         b_pad = np.zeros((Bp,), dtype=np.uint16)
         b_pad[:B] = (np.asarray(ct.b, dtype=np.uint64) % um).astype(np.uint16)
         digits_eff = rg.digits_g - rg.num_digits_to_throw
+        t0 = _prof_mark(f"func_bootstrap[baseG=2^{rg.base_g.bit_length()-1}] "
+                        "host prep", t0)
         build = build_func_acc_rns(rg.N, q1, q2, ct_mod, per_ct)
         acc1, acc2, a_idx = build(b_pad, a_pad, jnp.asarray(g1),
                                   jnp.asarray(g2))
+        t0 = _prof_mark("func_bootstrap acc build", t0, acc1, acc2, a_idx)
         rot = build_rotate_extract_rns(rg.N, q1, q2, rg.base_g, digits_eff,
                                        rg.num_digits_to_throw, p.n)
         alo, ahi, blo, bhi = rot(acc1, acc2, a_idx, dk["bsk_rns"])
+        t0 = _prof_mark("func_bootstrap rotate", t0, alo, ahi, blo, bhi)
         tail = build_tail64(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
                             p.n, int(fmod), False)
         a_out, b_out = tail(alo, ahi, blo, bhi, dk["ksk_bf"])
-        return lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
+        t0 = _prof_mark("func_bootstrap tail", t0, a_out, b_out)
+        out = lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
                                  self._to_host(b_out)[:B].astype(np.uint64),
                                  int(fmod))
+        _prof_mark("func_bootstrap host pull", t0)
+        return out
 
     def bootstrap_pipeline(self, params: BinFHEParams, key, acc_init: np.ndarray,
                            a_batch: np.ndarray, a_modulus: int, fmod: int,

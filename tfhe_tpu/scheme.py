@@ -22,6 +22,7 @@ import numpy as np
 from . import lwe
 from .params import BinFHEParams, Gate, Method
 from .ref import modmath, ntt, rgsw
+from .utils.profiling import profile_log, tic
 from .utils.rng import BinFHERng
 
 
@@ -435,17 +436,21 @@ def eval_floor(backend: Backend, params: BinFHEParams, key: BTKey,
     q = params.lwe.q if roundbits == 0 else beta * 2 * (1 << roundbits)
     mod = ctb.modulus
 
+    t0 = tic()
     ct1 = ctb.copy()
     lwe.add_const_eq(ct1, beta)
 
     ct1_modq = ct1.copy()
     ct1_modq.set_modulus(q)
+    profile_log("eval_floor host glue 1", t0)
     ct2 = bootstrap_func(backend, params, key, ct1_modq, _f0, mod)
+    t0 = tic()
     ct2b, _ = _as_batch(ct2)
     lwe.sub_eq(ct1, ct2b)
 
     ct2_modq = ct1.copy()
     ct2_modq.set_modulus(q)
+    profile_log("eval_floor host glue 2", t0)
 
     def f2(x, fq, fQ):
         x = x.astype(np.uint64)
@@ -455,8 +460,10 @@ def eval_floor(backend: Backend, params: BinFHEParams, key: BTKey,
         return np.where(x < fq // 4, lo, np.where(x < 3 * fq // 4, mid, hi))
 
     ct3 = bootstrap_func(backend, params, key, ct2_modq, f2, mod)
+    t0 = tic()
     ct3b, _ = _as_batch(ct3)
     lwe.sub_eq(ct1, ct3b)
+    profile_log("eval_floor host glue 3", t0)
     return _unbatch(ct1, was_scalar)
 
 
@@ -476,9 +483,11 @@ def eval_sign(backend: Backend, params: BinFHEParams, keys: dict[int, BTKey],
     try:
         while mod > q:
             cttmp = eval_floor(backend, params, cur_key, cttmp, beta)
+            t0 = tic()
             cttmp, _ = _as_batch(cttmp)
             mod = mod // q * 2 * beta
             cttmp = lwe.mod_switch(mod, cttmp)
+            profile_log(f"eval_sign mod_switch -> {mod}", t0)
             if len(keys) == 3:
                 bin_log = int(math.ceil(math.log2(mod)))
                 base = 0
