@@ -291,3 +291,50 @@ def test_rns_multi_lut_fast_path_bit_exact(ctx_rns):
     ctb, _ = scheme._as_batch(ct)
     fv2 = np.stack([np.arange(q, dtype=np.uint64) % 7] * B)
     assert be.func_bootstrap(cc.params, cc.bt_key, fv2, ctb, q) is not None
+
+
+def test_rns_sign_device_chain_bit_exact(ctx_rns):
+    """EvalSign through the device-resident chain (every inter-bootstrap
+    LWE combination, modulus switch, and base retag runs in-graph; the
+    ciphertext crosses the host boundary exactly twice) == host oracle,
+    bit for bit (binfhe-base-scheme.cpp:312-372)."""
+    cc, sk = ctx_rns
+    be = JaxBackend()
+    q, beta = cc.params.lwe.q, cc.params.beta
+    Q_enc = 1 << 11                       # schedule: 2^11 -> 2^10 -> 2^9 = q
+    P = cc.params.max_plaintext_space * (Q_enc // q)
+    delta = np.array([-2, -1, 0, 1])
+    m = (P // 2 + delta) % P
+    ct = cc.encrypt(sk, m, "FRESH", P, Q_enc)
+    keys = {cc.params.rgsw.base_g: cc.bt_key}
+    assert scheme._chain_mods_ok(be, cc.params, keys,
+                                 scheme._mod_schedule(Q_enc, q, beta), q)
+    ref = scheme.eval_sign(RefBackend(), cc.params, keys, ct, beta)
+    dev = scheme.eval_sign(be, cc.params, keys, ct, beta)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    np.testing.assert_array_equal(
+        np.asarray(cc.decrypt(sk, dev, 2), dtype=np.int64),
+        (delta >= 0).astype(np.int64))
+
+
+def test_rns_decomp_device_chain_bit_exact(ctx_rns):
+    """EvalDecomp through the device-resident chain == host oracle bit for
+    bit, including the unreduced raw-retag digit convention
+    (binfhe-base-scheme.cpp:375-433)."""
+    cc, sk = ctx_rns
+    be = JaxBackend()
+    q, beta = cc.params.lwe.q, cc.params.beta
+    Q_enc = 1 << 11
+    p = cc.params.max_plaintext_space
+    P = p * (Q_enc // q)
+    m = np.array([1, P // 3, P // 2, P - 1])
+    ct = cc.encrypt(sk, m, "FRESH", P, Q_enc)
+    keys = {cc.params.rgsw.base_g: cc.bt_key}
+    ref = scheme.eval_decomp(RefBackend(), cc.params, keys, ct, beta)
+    dev = scheme.eval_decomp(be, cc.params, keys, ct, beta)
+    assert len(ref) == len(dev) and len(ref) >= 2
+    for r, d in zip(ref, dev):
+        assert r.modulus == d.modulus
+        np.testing.assert_array_equal(r.a, d.a)
+        np.testing.assert_array_equal(np.asarray(r.b), np.asarray(d.b))

@@ -33,20 +33,51 @@ def test_format_change_still_misses():
 
 
 def test_patch_is_idempotent_and_hash_matches():
-    jaxcfg._patch_platform_version_hash()
     from jax._src import cache_key as ck
-    patched = ck._hash_platform
+    saved = ck._hash_platform
+    try:
+        jaxcfg._patch_platform_version_hash()
+        patched = ck._hash_platform
+        jaxcfg._patch_platform_version_hash()
+        assert ck._hash_platform is patched  # no double wrap
+
+        class FakeBackend:
+            platform = "tpu"
+            platform_version = RAW
+
+        class FakeBackend2(FakeBackend):
+            platform_version = RAW.replace("cl/831091709", "cl/42")
+
+        h1, h2 = hashlib.sha256(), hashlib.sha256()
+        ck._hash_platform(h1, FakeBackend())
+        ck._hash_platform(h2, FakeBackend2())
+        assert h1.digest() == h2.digest()
+    finally:
+        ck._hash_platform = saved
+
+
+def test_opt_out_zero_means_disabled(monkeypatch):
+    """TFHE_TPU_RAW_PLATFORM_KEY=0 must NOT activate the opt-out."""
+    from jax._src import cache_key as ck
+
+    def raw_hash_platform(hash_obj, backend):  # stand-in unpatched function
+        ck._hash_string(hash_obj, backend.platform_version)
+
+    # '0' and '' -> patch applies
+    for off in ("0", ""):
+        monkeypatch.setattr(ck, "_hash_platform", raw_hash_platform)
+        monkeypatch.setenv("TFHE_TPU_RAW_PLATFORM_KEY", off)
+        jaxcfg._patch_platform_version_hash()
+        assert getattr(ck._hash_platform, "_tfhe_tpu_stable", False), off
+    # '1' -> opt-out honored, raw function left in place
+    monkeypatch.setattr(ck, "_hash_platform", raw_hash_platform)
+    monkeypatch.setenv("TFHE_TPU_RAW_PLATFORM_KEY", "1")
     jaxcfg._patch_platform_version_hash()
-    assert ck._hash_platform is patched  # no double wrap
+    assert ck._hash_platform is raw_hash_platform
 
-    class FakeBackend:
-        platform = "tpu"
-        platform_version = RAW
 
-    class FakeBackend2(FakeBackend):
-        platform_version = RAW.replace("cl/831091709", "cl/42")
-
-    h1, h2 = hashlib.sha256(), hashlib.sha256()
-    ck._hash_platform(h1, FakeBackend())
-    ck._hash_platform(h2, FakeBackend2())
-    assert h1.digest() == h2.digest()
+def test_cl_substring_in_version_tag_survives():
+    """Only build-stamp 'cl/<digits>' lines are dropped, not any 'cl/'."""
+    raw = "runtime nacl/v2 feature; SerializedExecutable v9"
+    s = jaxcfg._stable_platform_version(raw)
+    assert "nacl/v2" in s

@@ -297,22 +297,24 @@ def _crt_combine_pair(o1, o2, q1: int, q2: int):
 
 @functools.lru_cache(maxsize=None)
 def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int,
-                       per_ct: bool = False):
+                       per_ct: bool = False, u32_in: bool = False):
     """Device-side functional test-polynomial builder for the RNS lanes
     (the batched BootstrapFuncCore, binfhe-base-scheme.cpp:1147-1192, done
     in-graph): m[j*(2N/ctMod)] = g[(b - j) mod ctMod] gathered from the
     tiny per-lane value tables — inputs ride the tunnel as u16 instead of
     full [B, 2, N] accumulators. With `per_ct`, g is a [B, ctMod] table and
     every ciphertext gathers from its own row (the multi-LUT EvalFunc
-    overload, binfhe-base-scheme.cpp:791-924)."""
+    overload, binfhe-base-scheme.cpp:791-924). With `u32_in`, inputs are
+    device-resident u32 arrays whose values may exceed ct_mod (a raw
+    modulus retag from a chained stage) and are reduced in-graph."""
     half = ct_mod >> 1
     factor = (2 * N) // ct_mod
     um = np.uint32(ct_mod)
 
     @jax.jit
-    def build(b16, a16, g1, g2):
-        b = b16.astype(jnp.uint32)
-        a = a16.astype(jnp.uint32)
+    def build(b_in, a_in, g1, g2):
+        b = _reduce_ct_mod(b_in, ct_mod) if u32_in else b_in.astype(jnp.uint32)
+        a = _reduce_ct_mod(a_in, ct_mod) if u32_in else a_in.astype(jnp.uint32)
         B = b.shape[0]
         t = jnp.where(a == 0, a, um - a)
         a_idx = (t * np.uint32(factor)).astype(jnp.int32)
@@ -335,6 +337,105 @@ def build_func_acc_rns(N: int, q1: int, q2: int, ct_mod: int,
         return accs[0], accs[1], a_idx
 
     return build
+
+
+def _reduce_ct_mod(x, ct_mod: int):
+    """u32 values (< 2^24 in every chain stage) reduced mod ct_mod in-graph;
+    a mask when ct_mod is a power of two (it always is in the EvalSign/
+    EvalDecomp modulus schedule: mod, q and 2*beta are all powers of two)."""
+    x = x.astype(jnp.uint32)
+    if ct_mod & (ct_mod - 1) == 0:
+        return x & np.uint32(ct_mod - 1)
+    return x % np.uint32(ct_mod)
+
+
+@functools.lru_cache(maxsize=None)
+def build_func_acc32(N: int, Q: int, ct_mod: int, per_ct: bool = False,
+                     u32_in: bool = False):
+    """Single-modulus device test-poly builder (the u32 and mixed paths —
+    e.g. the accelerated logQ=11 EvalFloor configuration, Q a 27-bit prime):
+    same in-graph gather as build_func_acc_rns but one lane mod Q."""
+    half = ct_mod >> 1
+    factor = (2 * N) // ct_mod
+    um = np.uint32(ct_mod)
+
+    @jax.jit
+    def build(b_in, a_in, g):
+        b = _reduce_ct_mod(b_in, ct_mod) if u32_in else b_in.astype(jnp.uint32)
+        a = _reduce_ct_mod(a_in, ct_mod) if u32_in else a_in.astype(jnp.uint32)
+        B = b.shape[0]
+        t = jnp.where(a == 0, a, um - a)
+        a_idx = (t * np.uint32(factor)).astype(jnp.int32)
+        j = jax.lax.broadcasted_iota(jnp.uint32, (1, half), 1)
+        temp = (b[:, None] + um - j) % um                       # [B, half]
+        if per_ct:
+            vals = jnp.take_along_axis(g, temp.astype(jnp.int32), axis=1)
+        else:
+            vals = g[temp]                                      # [B, half]
+        if factor > 1:
+            m = jnp.concatenate(
+                [vals[..., None],
+                 jnp.zeros((B, half, factor - 1), jnp.uint32)], axis=-1)
+            m = m.reshape(B, N)
+        else:
+            m = vals
+        acc = jnp.stack([jnp.zeros((B, N), jnp.uint32), m], axis=1)
+        return acc, a_idx
+
+    return build
+
+
+# ---------------------------------------------------------------------------
+# device-resident LWE chain glue (EvalFloor/EvalSign/EvalDecomp inter-
+# bootstrap arithmetic in-graph — the host-side analogue in scheme.py costs
+# ~30% of EvalSign wall time at batch 4096 through host u64 loops plus
+# per-bootstrap tunnel round trips)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build_addc(mod: int, c: int):
+    """b -> (b + c) mod `mod` (lwe.add_const_eq, b-component only)."""
+    @jax.jit
+    def f(b):
+        return (b + np.uint32(c % mod)) % np.uint32(mod)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _build_subc(mod: int, c: int):
+    @jax.jit
+    def f(b):
+        return (b + np.uint32(mod - (c % mod))) % np.uint32(mod)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sub(mod: int):
+    """(ct1 - ct2) mod `mod`, elementwise on (a [B,n], b [B]) u32 pairs."""
+    um = np.uint32(mod)
+
+    @jax.jit
+    def f(a1, b1, a2, b2):
+        return (a1 + um - a2) % um, (b1 + um - b2) % um
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _build_mod_switch_pow2(old_mod: int, new_mod: int):
+    """RoundqQ for power-of-two moduli: floor(0.5 + v*new/old) mod new
+    == ((v + 2^(shift-1)) >> shift) & (new-1) with shift = log2(old/new) —
+    bit-identical to modmath.round_q_Q (lwe-pke.cpp:41-46)."""
+    assert old_mod & (old_mod - 1) == 0 and new_mod & (new_mod - 1) == 0
+    assert new_mod < old_mod
+    shift = old_mod.bit_length() - new_mod.bit_length()
+    half = np.uint32(1 << (shift - 1))
+    mask = np.uint32(new_mod - 1)
+
+    @jax.jit
+    def f(a, b):
+        return ((a + half) >> np.uint32(shift)) & mask, \
+               ((b + half) >> np.uint32(shift)) & mask
+    return f
 
 
 @functools.lru_cache(maxsize=None)
@@ -365,6 +466,18 @@ def build_rotate_extract_rns(N: int, q1: int, q2: int, base_g: int,
     return rot
 
 
+class DeviceLWE:
+    """Device-resident LWE ciphertext batch for the fused functional chains:
+    u32 component arrays padded to the backend's batch bucket, plus the true
+    batch size. Values are residues mod `modulus` (or a raw retag of a larger
+    modulus — the EvalDecomp digit convention, lwe.py set_modulus)."""
+
+    __slots__ = ("a", "b", "modulus", "B")
+
+    def __init__(self, a, b, modulus: int, B: int):
+        self.a, self.b, self.modulus, self.B = a, b, modulus, B
+
+
 class JaxBackend:
     """Implements the `scheme.Backend` protocol on JAX devices.
 
@@ -389,7 +502,7 @@ class JaxBackend:
         (bootstrapping.cu:1616-1638)."""
         if self.mesh is None:
             return fn
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def spec(i):
@@ -399,7 +512,7 @@ class JaxBackend:
             in_specs = tuple(spec(i) for i in range(len(args)))
             out_specs = (P("batch"),) * n_out if n_out > 1 else P("batch")
             return shard_map(fn, mesh=self.mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_rep=False)(*args)
+                             out_specs=out_specs, check_vma=False)(*args)
 
         return wrapped
 
@@ -817,6 +930,63 @@ class JaxBackend:
         return lwe.LWECiphertext(
             self._to_host(a_out)[:B], self._to_host(b_out)[:B], int(fmod))
 
+    def _func_path(self, params: BinFHEParams, key):
+        """Which fused functional pipeline this configuration supports:
+        'rns' (composite 54-bit Q), 'mixed' (u32 rotation + 2^35 key switch,
+        the accelerated logQ=11 sets), 'small' (u32 end to end), or None
+        (host-accumulator fallback). Returns (path, device_key)."""
+        dk = self._get_device_key(params, key)
+        if self.mesh is not None or dk.get("dm_table") is not None:
+            return None, dk
+        if dk.get("bsk_rns") is not None:
+            return "rns", dk
+        if dk.get("bsk_pack") is not None:
+            return ("mixed" if dk.get("mixed") else "small"), dk
+        return None, dk
+
+    def _func_bootstrap_core(self, params: BinFHEParams, key, path: str, dk,
+                             gQ: np.ndarray, a_dev, b_dev, ct_mod: int,
+                             fmod: int, per_ct: bool, u32_in: bool):
+        """Shared device pipeline: in-graph test-poly build from the value
+        table gQ (already scaled by Q//fmod, mod Q) -> blind rotation ->
+        fused MKM switch. a_dev/b_dev are device (or uploadable host) arrays
+        padded to the batch bucket: u16 residues mod ct_mod, or u32 chain
+        values reduced in-graph when u32_in. Returns device (a, b) u32 mod
+        fmod."""
+        t0 = tic()
+        p, rg = params.lwe, params.rgsw
+        digits_eff = rg.digits_g - rg.num_digits_to_throw
+        if path == "rns":
+            q1, q2 = rg.rns_primes
+            g1 = jnp.asarray((gQ % np.uint64(q1)).astype(np.uint32))
+            g2 = jnp.asarray((gQ % np.uint64(q2)).astype(np.uint32))
+            build = build_func_acc_rns(rg.N, q1, q2, ct_mod, per_ct, u32_in)
+            acc1, acc2, a_idx = build(b_dev, a_dev, g1, g2)
+            t0 = _prof_mark("func_bootstrap acc build", t0, acc1, acc2, a_idx)
+            rot = build_rotate_extract_rns(rg.N, q1, q2, rg.base_g,
+                                           digits_eff,
+                                           rg.num_digits_to_throw, p.n)
+            alo, ahi, blo, bhi = rot(acc1, acc2, a_idx, dk["bsk_rns"])
+            t0 = _prof_mark("func_bootstrap rotate", t0, alo, ahi, blo, bhi)
+            tail = build_tail64(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                                p.n, int(fmod), False)
+            a_out, b_out = tail(alo, ahi, blo, bhi, dk["ksk_bf"])
+        else:
+            g = jnp.asarray(gQ.astype(np.uint32))     # gQ < Q < 2^28
+            build = build_func_acc32(rg.N, rg.Q, ct_mod, per_ct, u32_in)
+            acc, a_idx = build(b_dev, a_dev, g)
+            t0 = _prof_mark("func_bootstrap acc build", t0, acc, a_idx)
+            rot = build_rotate_extract32(rg.N, rg.Q, rg.base_g, digits_eff,
+                                         rg.num_digits_to_throw, p.n, True)
+            a_t, bb = rot(acc, a_idx, dk["bsk_pack"])
+            t0 = _prof_mark("func_bootstrap rotate", t0, a_t, bb)
+            tail_b = build_tail64_from32 if path == "mixed" else build_tail32
+            tail = tail_b(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
+                          p.n, int(fmod), False)
+            a_out, b_out = tail(a_t, bb, dk["ksk_bf"])
+        _prof_mark("func_bootstrap tail", t0, a_out, b_out)
+        return a_out, b_out
+
     def func_bootstrap(self, params: BinFHEParams, key, fv: np.ndarray,
                        ct, fmod: int):
         """Functional bootstrap with the test polynomial built ON device from
@@ -824,18 +994,17 @@ class JaxBackend:
         shared [ctMod] table or a per-ciphertext [B, ctMod] table (the
         multi-LUT overload; values gathered in-graph per row instead of
         uploading host-built [B, 2, N] accumulators).
-        Returns None when this configuration lacks the fast path (non-RNS,
+        Returns None when this configuration lacks the fast path (DM,
         multi-chip mesh, or oversized moduli) — the caller falls back to the
         host-built-accumulator route."""
         t0 = tic()
-        dk = self._get_device_key(params, key)
-        if dk.get("bsk_rns") is None or self.mesh is not None:
+        path, dk = self._func_path(params, key)
+        if path is None:
             return None
         p, rg = params.lwe, params.rgsw
         ct_mod = int(ct.modulus)
         if (2 * rg.N) % ct_mod or ct_mod > (1 << 16):
             return None
-        q1, q2 = rg.rns_primes
         Q = rg.Q
         scale = Q // int(fmod)
         B = ct.a.shape[0]
@@ -847,8 +1016,6 @@ class JaxBackend:
             gp = np.zeros((Bp, ct_mod), dtype=np.uint64)
             gp[:B] = gQ
             gQ = gp
-        g1 = (gQ % np.uint64(q1)).astype(np.uint32)
-        g2 = (gQ % np.uint64(q2)).astype(np.uint32)
         # ct may be a raw retag from a larger modulus (set_modulus does not
         # re-reduce, lwe.py:37-40): reduce before the u16 cast
         um = np.uint64(ct_mod)
@@ -856,26 +1023,89 @@ class JaxBackend:
         a_pad[:B] = (np.asarray(ct.a, dtype=np.uint64) % um).astype(np.uint16)
         b_pad = np.zeros((Bp,), dtype=np.uint16)
         b_pad[:B] = (np.asarray(ct.b, dtype=np.uint64) % um).astype(np.uint16)
-        digits_eff = rg.digits_g - rg.num_digits_to_throw
         t0 = _prof_mark(f"func_bootstrap[baseG=2^{rg.base_g.bit_length()-1}] "
                         "host prep", t0)
-        build = build_func_acc_rns(rg.N, q1, q2, ct_mod, per_ct)
-        acc1, acc2, a_idx = build(b_pad, a_pad, jnp.asarray(g1),
-                                  jnp.asarray(g2))
-        t0 = _prof_mark("func_bootstrap acc build", t0, acc1, acc2, a_idx)
-        rot = build_rotate_extract_rns(rg.N, q1, q2, rg.base_g, digits_eff,
-                                       rg.num_digits_to_throw, p.n)
-        alo, ahi, blo, bhi = rot(acc1, acc2, a_idx, dk["bsk_rns"])
-        t0 = _prof_mark("func_bootstrap rotate", t0, alo, ahi, blo, bhi)
-        tail = build_tail64(p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
-                            p.n, int(fmod), False)
-        a_out, b_out = tail(alo, ahi, blo, bhi, dk["ksk_bf"])
-        t0 = _prof_mark("func_bootstrap tail", t0, a_out, b_out)
+        a_out, b_out = self._func_bootstrap_core(
+            params, key, path, dk, gQ, a_pad, b_pad, ct_mod, int(fmod),
+            per_ct, u32_in=False)
         out = lwe.LWECiphertext(self._to_host(a_out)[:B].astype(np.uint64),
                                  self._to_host(b_out)[:B].astype(np.uint64),
                                  int(fmod))
         _prof_mark("func_bootstrap host pull", t0)
         return out
+
+    # -- device-resident functional chains (EvalFloor/Sign/Decomp) ---------
+
+    def chain_supported(self, params: BinFHEParams, key) -> bool:
+        """True when this configuration can run the device-resident
+        inter-bootstrap chain (scheme.eval_floor/eval_sign/eval_decomp keep
+        the ciphertext on device between bootstraps instead of pulling it
+        to the host after every MKM switch)."""
+        path, _ = self._func_path(params, key)
+        return path is not None
+
+    def lwe_upload(self, ct) -> DeviceLWE:
+        """Host LWECiphertext batch -> padded device u32 arrays (one upload
+        for the whole chain; every chain modulus is < 2^30)."""
+        B = ct.a.shape[0]
+        Bp = self._bucket(B)
+        a = np.zeros((Bp, ct.a.shape[1]), dtype=np.uint32)
+        a[:B] = np.asarray(ct.a, dtype=np.uint64).astype(np.uint32)
+        b = np.zeros((Bp,), dtype=np.uint32)
+        b[:B] = np.asarray(ct.b, dtype=np.uint64).astype(np.uint32)
+        return DeviceLWE(jnp.asarray(a), jnp.asarray(b), int(ct.modulus), B)
+
+    def lwe_download(self, dct: DeviceLWE):
+        return lwe.LWECiphertext(
+            np.asarray(jax.device_get(dct.a))[:dct.B].astype(np.uint64),
+            np.asarray(jax.device_get(dct.b))[:dct.B].astype(np.uint64),
+            dct.modulus)
+
+    def func_bootstrap_dev(self, params: BinFHEParams, key, fv: np.ndarray,
+                           dct: DeviceLWE, ct_mod: int,
+                           fmod: int) -> DeviceLWE:
+        """Functional bootstrap on a device-resident ciphertext: input values
+        are reduced mod ct_mod in-graph (the raw-retag convention), output
+        stays on device mod fmod. `fv` is a [ctMod] value table or [B, ctMod]
+        for per-ciphertext LUTs. Callers must have checked chain_supported
+        plus the modulus conditions ((2N) %% ct_mod == 0, ct_mod <= 2^16)."""
+        path, dk = self._func_path(params, key)
+        if path is None:
+            raise RuntimeError("func_bootstrap_dev on unsupported config")
+        rg = params.rgsw
+        scale = rg.Q // int(fmod)
+        fv = np.asarray(fv, dtype=np.uint64)
+        per_ct = fv.ndim == 2
+        gQ = (fv * np.uint64(scale)) % np.uint64(rg.Q)
+        if per_ct:                                    # pad rows to the bucket
+            Bp = dct.a.shape[0]
+            gp = np.zeros((Bp, int(ct_mod)), dtype=np.uint64)
+            gp[:gQ.shape[0]] = gQ
+            gQ = gp
+        a_out, b_out = self._func_bootstrap_core(
+            params, key, path, dk, gQ, dct.a, dct.b, int(ct_mod), int(fmod),
+            per_ct=per_ct, u32_in=True)
+        return DeviceLWE(a_out, b_out, int(fmod), dct.B)
+
+    def dev_add_const(self, dct: DeviceLWE, c: int) -> DeviceLWE:
+        return DeviceLWE(dct.a, _build_addc(dct.modulus, int(c))(dct.b),
+                         dct.modulus, dct.B)
+
+    def dev_sub_const(self, dct: DeviceLWE, c: int) -> DeviceLWE:
+        return DeviceLWE(dct.a, _build_subc(dct.modulus, int(c))(dct.b),
+                         dct.modulus, dct.B)
+
+    def dev_sub(self, d1: DeviceLWE, d2: DeviceLWE) -> DeviceLWE:
+        a, b = _build_sub(d1.modulus)(d1.a, d1.b, d2.a, d2.b)
+        return DeviceLWE(a, b, d1.modulus, d1.B)
+
+    def dev_mod_switch(self, dct: DeviceLWE, new_mod: int) -> DeviceLWE:
+        a, b = _build_mod_switch_pow2(dct.modulus, int(new_mod))(dct.a, dct.b)
+        return DeviceLWE(a, b, int(new_mod), dct.B)
+
+    def dev_retag(self, dct: DeviceLWE, new_mod: int) -> DeviceLWE:
+        """Raw modulus retag (lwe.set_modulus): values unchanged."""
+        return DeviceLWE(dct.a, dct.b, int(new_mod), dct.B)
 
     def bootstrap_pipeline(self, params: BinFHEParams, key, acc_init: np.ndarray,
                            a_batch: np.ndarray, a_modulus: int, fmod: int,

@@ -141,7 +141,7 @@ def build_limb_ntt(N: int, Q: int, mesh: Mesh):
     assert S * D == N and S % 2 == 0
     twf, twf_sh, _ = _tables(N, Q)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(lambda x, t, tsh: _fwd_shard(x, t, tsh, N, Q, D),
                    mesh=mesh,
@@ -164,7 +164,7 @@ def build_limb_intt(N: int, Q: int, mesh: Mesh):
     assert S * D == N and S % 2 == 0
     twi, twi_sh = _inv_tables(N, Q)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(lambda x, t, tsh: _inv_shard(x, t, tsh, N, Q, D),
                    mesh=mesh,
@@ -197,7 +197,7 @@ def build_limb_ckks_kernels(params, mesh: Mesh):
     The relinearization seam stays at d2 (hybrid key switch composes on the
     gathered towers, ckks_rns.eval_mult_limb). Bit-identical to the host
     DCRTPoly path (tests/test_limb_ntt.py)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     N = params.N
     mods = params.moduli
@@ -318,7 +318,7 @@ def build_limb_mult(params, key, mesh: Mesh):
     COEFFICIENT towers [L, N] u32 to rescaled output towers [L-1, N].
     Bit-identical to the host CKKSRnsContext.eval_mult and to the
     single-device ckks_device.build_mult_relin_rescale."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..pke.ckks_device import _make_fbc, _make_rescale, _shoup_c
 

@@ -388,13 +388,6 @@ def eval_func(backend: Backend, params: BinFHEParams, key: BTKey,
         lut2 = np.concatenate([lut_arr, lut_arr], axis=-1)
         dq = q << 1
         ct1.set_modulus(dq)
-        ct2 = ct1.copy()
-        lwe.add_const_eq(ct2, beta)
-        ct3 = bootstrap_func(backend, params, key, ct2, _f0, dq)
-        ct3b, _ = _as_batch(ct3)
-        lwe.sub_eq2(ct1, ct3b)            # ct3 = ct1 - ct3
-        lwe.add_const_eq(ct3b, beta)
-        lwe.sub_const_eq(ct3b, q >> 1)
 
         def f_lut2(x, fq, fQ):
             x_idx = x.astype(np.int64)
@@ -403,12 +396,52 @@ def eval_func(backend: Backend, params: BinFHEParams, key: BTKey,
             return np.where(x_idx < fq // 2, lut2[x_idx % lut2.shape[-1]],
                             (np.uint64(fQ) - lut2[(x_idx - fq // 2) % lut2.shape[-1]]) % np.uint64(fQ))
 
+        B = ctb.a.shape[0]
+        fv0 = _probe_table(_f0, dq, dq, B)
+        fv1 = _probe_table(f_lut2, dq, dq, B)
+        if (_chain_mods_ok(backend, params, key, (), dq)
+                and fv0 is not None and fv1 is not None):
+            # both bootstraps + the inter-bootstrap fixups in-graph; one
+            # upload, one download (binfhe-base-scheme.cpp:709-761)
+            dct = backend.lwe_upload(ct1)
+            c2 = backend.dev_add_const(dct, beta)
+            c3 = backend.func_bootstrap_dev(params, key, fv0, c2, dq, dq)
+            c3 = backend.dev_sub(dct, c3)           # ct3 = ct1 - ct3
+            c3 = backend.dev_add_const(c3, beta)
+            c3 = backend.dev_sub_const(c3, q >> 1)
+            c4 = backend.func_bootstrap_dev(params, key, fv1, c3, dq, dq)
+            out = backend.lwe_download(c4)
+            out.set_modulus(q)
+            return _unbatch(out, was_scalar)
+
+        ct2 = ct1.copy()
+        lwe.add_const_eq(ct2, beta)
+        ct3 = bootstrap_func(backend, params, key, ct2, _f0, dq)
+        ct3b, _ = _as_batch(ct3)
+        lwe.sub_eq2(ct1, ct3b)            # ct3 = ct1 - ct3
+        lwe.add_const_eq(ct3b, beta)
+        lwe.sub_const_eq(ct3b, q >> 1)
+
         ct4 = bootstrap_func(backend, params, key, ct3b, f_lut2, dq)
         ct4b, _ = _as_batch(ct4)
         ct4b.set_modulus(q)
         return _unbatch(ct4b, was_scalar)
 
     # periodic
+    B = ctb.a.shape[0]
+    fv0 = _probe_table(_f0, q, q, B)
+    fv1 = _probe_table(lut_f(2), q, q, B)
+    if (_chain_mods_ok(backend, params, key, (), q)
+            and fv0 is not None and fv1 is not None):
+        dct = backend.lwe_upload(ctb)
+        c1 = backend.dev_add_const(dct, beta)
+        c2 = backend.func_bootstrap_dev(params, key, fv0, c1, q, q)
+        c2 = backend.dev_sub(dct, c2)               # ct2 = ct - ct2
+        c2 = backend.dev_add_const(c2, beta)
+        c2 = backend.dev_sub_const(c2, q >> 2)
+        out = backend.func_bootstrap_dev(params, key, fv1, c2, q, q)
+        return _unbatch(backend.lwe_download(out), was_scalar)
+
     lwe.add_const_eq(ct1, beta)
     ct2 = bootstrap_func(backend, params, key, ct1, _f0, q)
     ct2b, _ = _as_batch(ct2)
@@ -417,6 +450,21 @@ def eval_func(backend: Backend, params: BinFHEParams, key: BTKey,
     lwe.sub_const_eq(ct2b, q >> 2)
     out = bootstrap_func(backend, params, key, ct2b, lut_f(2), q)
     return _unbatch(out, was_scalar)
+
+
+def _probe_table(f, ct_mod: int, fmod: int, B: int) -> np.ndarray | None:
+    """Value table f(t) for t in [0, ctMod) — the same probe the
+    func_bootstrap fast path runs; None when f is not table-expressible."""
+    t = np.arange(ct_mod, dtype=np.uint64).reshape(1, -1)
+    try:
+        fv = np.asarray(f(t, ct_mod, fmod))
+    except Exception:
+        return None
+    if fv.size == ct_mod:
+        return fv.reshape(-1)
+    if fv.ndim == 2 and fv.shape == (B, ct_mod):
+        return fv
+    return None
 
 
 def _lut_lookup_per_ct(luts: np.ndarray, x_idx: np.ndarray, fq: int, fQ: int,
@@ -429,12 +477,94 @@ def _lut_lookup_per_ct(luts: np.ndarray, x_idx: np.ndarray, fq: int, fQ: int,
     return np.where(x_idx < fq // 2, lo, hi)
 
 
+def _floor_f2(x: np.ndarray, fq: int, fQ: int) -> np.ndarray:
+    """Second EvalFloor test function (binfhe-base-scheme.cpp:286-301)."""
+    x = x.astype(np.uint64)
+    lo = (np.uint64(fQ) - np.uint64(fq // 2) - x)
+    mid = x
+    hi = (np.uint64(fQ) + np.uint64(fq // 2) - x)
+    return np.where(x < fq // 4, lo, np.where(x < 3 * fq // 4, mid, hi))
+
+
+def _sign_f3(x: np.ndarray, fq: int, fQ: int) -> np.ndarray:
+    """Final EvalSign test function (binfhe-base-scheme.cpp:346-352)."""
+    return np.where(x.astype(np.uint64) < fq // 2, np.uint64(fQ // 4),
+                    np.uint64(fQ - fQ // 4))
+
+
+def _mod_schedule(mod: int, q: int, beta: int) -> tuple[int, ...]:
+    """Statically-derived modulus sequence of the EvalSign/EvalDecomp loop
+    (binfhe-base-scheme.cpp:1016-1023): mod -> mod//q * 2*beta until <= q."""
+    mods = [mod]
+    while mods[-1] > q:
+        mods.append(mods[-1] // q * 2 * beta)
+    return tuple(mods)
+
+
+def _dyn_base_switch(rgsw_p, keys: dict, mod: int, cur_key):
+    """Dynamic gadget-base switch for 3-entry timeOptimization key maps
+    (binfhe-base-scheme.cpp:355-366)."""
+    if len(keys) != 3:
+        return cur_key
+    bin_log = int(math.ceil(math.log2(mod)))
+    base = 0
+    if bin_log <= 17:
+        base = 1 << 27
+    elif bin_log <= 26:
+        base = 1 << 18
+    if base != 0:
+        rgsw_p.change_base_g(base)
+        return keys[base]
+    return cur_key
+
+
+def _chain_mods_ok(backend: Backend, params: BinFHEParams, keys,
+                   mods: tuple[int, ...], q: int) -> bool:
+    """Eligibility for the device-resident chain: backend support for every
+    key involved, every bootstrap input modulus a power-of-two divisor of 2N
+    within u16, and every chain modulus a power of two (the in-graph
+    RoundqQ is then an exact shift — scheme moduli mod/q/2beta are all
+    powers of two in the reference's accelerated configurations)."""
+    cs = getattr(backend, "chain_supported", None)
+    if cs is None:
+        return False
+    if not isinstance(keys, dict):
+        keys = {getattr(keys, "base_g", 0): keys}
+    if not all(cs(params, k) for k in keys.values()):
+        return False
+    if (2 * params.lwe.N) % q or q > (1 << 16):
+        return False
+    return all(m & (m - 1) == 0 and m < (1 << 30) for m in mods)
+
+
+def _eval_floor_dev(backend: Backend, params: BinFHEParams, key: BTKey,
+                    dct, beta: int, q: int):
+    """EvalFloor on a device-resident ciphertext: both bootstraps and the
+    inter-bootstrap LWE arithmetic run in-graph; nothing returns to the host
+    (the host-route glue — u64 copies, sub_eq, per-bootstrap tunnel round
+    trips over [B, n] arrays — costs ~30% of EvalSign wall time)."""
+    mod = dct.modulus
+    ct1 = backend.dev_add_const(dct, beta)
+    fv0 = _f0(np.arange(q, dtype=np.uint64), q, mod)
+    ct2 = backend.func_bootstrap_dev(params, key, fv0, ct1, q, mod)
+    ct1 = backend.dev_sub(ct1, ct2)
+    fv2 = _floor_f2(np.arange(q, dtype=np.uint64), q, mod)
+    ct3 = backend.func_bootstrap_dev(params, key, fv2, ct1, q, mod)
+    return backend.dev_sub(ct1, ct3)
+
+
 def eval_floor(backend: Backend, params: BinFHEParams, key: BTKey,
                ct: lwe.LWECiphertext, beta: int, roundbits: int = 0) -> lwe.LWECiphertext:
     """Homomorphic flooring: clears the low log2(q) bits (binfhe-base-scheme.cpp:272-309)."""
     ctb, was_scalar = _as_batch(ct)
     q = params.lwe.q if roundbits == 0 else beta * 2 * (1 << roundbits)
     mod = ctb.modulus
+
+    if _chain_mods_ok(backend, params, key, (mod,), q):
+        dct = backend.lwe_upload(ctb)
+        out = backend.lwe_download(_eval_floor_dev(backend, params, key,
+                                                   dct, beta, q))
+        return _unbatch(out, was_scalar)
 
     t0 = tic()
     ct1 = ctb.copy()
@@ -452,14 +582,7 @@ def eval_floor(backend: Backend, params: BinFHEParams, key: BTKey,
     ct2_modq.set_modulus(q)
     profile_log("eval_floor host glue 2", t0)
 
-    def f2(x, fq, fQ):
-        x = x.astype(np.uint64)
-        lo = (np.uint64(fQ) - np.uint64(fq // 2) - x)
-        mid = x
-        hi = (np.uint64(fQ) + np.uint64(fq // 2) - x)
-        return np.where(x < fq // 4, lo, np.where(x < 3 * fq // 4, mid, hi))
-
-    ct3 = bootstrap_func(backend, params, key, ct2_modq, f2, mod)
+    ct3 = bootstrap_func(backend, params, key, ct2_modq, _floor_f2, mod)
     t0 = tic()
     ct3b, _ = _as_batch(ct3)
     lwe.sub_eq(ct1, ct3b)
@@ -479,6 +602,23 @@ def eval_sign(backend: Backend, params: BinFHEParams, keys: dict[int, BTKey],
     cur_base = rgsw_p.base_g
     cur_key = keys[cur_base]
 
+    if _chain_mods_ok(backend, params, keys, _mod_schedule(mod, q, beta), q):
+        dct = backend.lwe_upload(ctb)
+        try:
+            while mod > q:
+                dct = _eval_floor_dev(backend, params, cur_key, dct, beta, q)
+                mod = mod // q * 2 * beta
+                dct = backend.dev_mod_switch(dct, mod)
+                cur_key = _dyn_base_switch(rgsw_p, keys, mod, cur_key)
+            dct = backend.dev_add_const(dct, beta)
+            fv3 = _sign_f3(np.arange(mod, dtype=np.uint64), mod, q)
+            dct = backend.func_bootstrap_dev(params, cur_key, fv3, dct,
+                                             mod, q)
+        finally:
+            rgsw_p.change_base_g(cur_base)
+        out = backend.lwe_download(backend.dev_sub_const(dct, q >> 2))
+        return _unbatch(out, was_scalar)
+
     cttmp = ctb.copy()
     try:
         while mod > q:
@@ -488,23 +628,10 @@ def eval_sign(backend: Backend, params: BinFHEParams, keys: dict[int, BTKey],
             mod = mod // q * 2 * beta
             cttmp = lwe.mod_switch(mod, cttmp)
             profile_log(f"eval_sign mod_switch -> {mod}", t0)
-            if len(keys) == 3:
-                bin_log = int(math.ceil(math.log2(mod)))
-                base = 0
-                if bin_log <= 17:
-                    base = 1 << 27
-                elif bin_log <= 26:
-                    base = 1 << 18
-                if base != 0:
-                    rgsw_p.change_base_g(base)
-                    cur_key = keys[base]
+            cur_key = _dyn_base_switch(rgsw_p, keys, mod, cur_key)
         lwe.add_const_eq(cttmp, beta)
 
-        def f3(x, fq, fQ):
-            return np.where(x.astype(np.uint64) < fq // 2, np.uint64(fQ // 4),
-                            np.uint64(fQ - fQ // 4))
-
-        out = bootstrap_func(backend, params, cur_key, cttmp, f3, q)
+        out = bootstrap_func(backend, params, cur_key, cttmp, _sign_f3, q)
     finally:
         rgsw_p.change_base_g(cur_base)
     outb, _ = _as_batch(out)
@@ -525,6 +652,22 @@ def eval_decomp(backend: Backend, params: BinFHEParams, keys: dict[int, BTKey],
     cur_base = rgsw_p.base_g
     cur_key = keys[cur_base]
 
+    if _chain_mods_ok(backend, params, keys, _mod_schedule(mod, q, beta), q):
+        dct = backend.lwe_upload(ctb)
+        digits = []
+        try:
+            while mod > q:
+                digits.append(backend.dev_retag(dct, q))
+                dct = _eval_floor_dev(backend, params, cur_key, dct, beta, q)
+                mod = mod // q * 2 * beta
+                dct = backend.dev_mod_switch(dct, mod)
+                cur_key = _dyn_base_switch(rgsw_p, keys, mod, cur_key)
+        finally:
+            rgsw_p.change_base_g(cur_base)
+        digits.append(dct)
+        return [_unbatch(backend.lwe_download(d), was_scalar)
+                for d in digits]
+
     cttmp = ctb.copy()
     ret: list[lwe.LWECiphertext] = []
     try:
@@ -536,16 +679,7 @@ def eval_decomp(backend: Backend, params: BinFHEParams, keys: dict[int, BTKey],
             cttmp, _ = _as_batch(cttmp)
             mod = mod // q * 2 * beta
             cttmp = lwe.mod_switch(mod, cttmp)
-            if len(keys) == 3:
-                bin_log = int(math.ceil(math.log2(mod)))
-                base = 0
-                if bin_log <= 17:
-                    base = 1 << 27
-                elif bin_log <= 26:
-                    base = 1 << 18
-                if base != 0:
-                    rgsw_p.change_base_g(base)
-                    cur_key = keys[base]
+            cur_key = _dyn_base_switch(rgsw_p, keys, mod, cur_key)
     finally:
         rgsw_p.change_base_g(cur_base)
     ret.append(_unbatch(cttmp, was_scalar))

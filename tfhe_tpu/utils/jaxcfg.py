@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import re
 
 
 def _host_tag() -> str:
@@ -46,7 +47,7 @@ def _stable_platform_version(raw: str) -> str:
         if not t:
             continue
         low = t.lower()
-        if low.startswith("built on") or "cl/" in low:
+        if low.startswith("built on") or re.search(r"\bcl/\d+", low):
             continue  # build stamp: ephemeral, not a compatibility boundary
         keep.append(t)
     return "; ".join(keep)
@@ -58,18 +59,22 @@ def _patch_platform_version_hash() -> None:
     Opt-out with TFHE_TPU_RAW_PLATFORM_KEY=1. If the worker's executable
     format does change (the compat/SerializedExecutable tokens), those tokens
     remain in the hash, so stale entries still miss."""
-    if os.environ.get("TFHE_TPU_RAW_PLATFORM_KEY"):
+    if os.environ.get("TFHE_TPU_RAW_PLATFORM_KEY", "") not in ("", "0"):
         return
     try:
         from jax._src import cache_key as _ck
     except ImportError:  # pragma: no cover - future jax refactors
         return
-    if getattr(_ck._hash_platform, "_tfhe_tpu_stable", False):
+    orig_hash_platform = getattr(_ck, "_hash_platform", None)
+    hash_string = getattr(_ck, "_hash_string", None)
+    if orig_hash_platform is None or hash_string is None:
+        return  # future jax renamed the internals: fall back to the raw key
+    if getattr(orig_hash_platform, "_tfhe_tpu_stable", False):
         return
 
     def _hash_platform(hash_obj, backend):
-        _ck._hash_string(hash_obj, backend.platform)
-        _ck._hash_string(
+        hash_string(hash_obj, backend.platform)
+        hash_string(
             hash_obj, _stable_platform_version(backend.platform_version))
 
     _hash_platform._tfhe_tpu_stable = True
