@@ -216,7 +216,17 @@ class BinFHEContext:
         temp = self.params.rgsw.base_g
         for base, key in (self._bt_key_map or {temp: self._bt_key}).items():
             self.params.rgsw.change_base_g(base)
-            self._backend.setup(self.params, key)
+            if base == temp:
+                # eager pack+upload for the default base; non-default map
+                # entries only VALIDATE here and pack lazily on first use —
+                # EvalSign's schedule typically never touches the smallest
+                # base, whose key is the largest pack of the map
+                self._backend.setup(self.params, key)
+            elif not self._backend.supports(self.params):
+                self.params.rgsw.change_base_g(temp)
+                raise NotImplementedError(
+                    f"JaxBackend does not support key-map base 2^"
+                    f"{base.bit_length() - 1} at these parameters")
         self.params.rgsw.change_base_g(temp)
 
     def device_clean(self) -> None:

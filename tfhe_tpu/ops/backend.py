@@ -1077,11 +1077,28 @@ class JaxBackend:
         fv = np.asarray(fv, dtype=np.uint64)
         per_ct = fv.ndim == 2
         gQ = (fv * np.uint64(scale)) % np.uint64(rg.Q)
+        Bp = dct.a.shape[0]
         if per_ct:                                    # pad rows to the bucket
-            Bp = dct.a.shape[0]
             gp = np.zeros((Bp, int(ct_mod)), dtype=np.uint64)
             gp[:gQ.shape[0]] = gQ
             gQ = gp
+        # bound peak HBM at huge batches: run the bootstrap core over
+        # sequential device slices (the work buffers — acc lanes, one-hot
+        # key-switch transients — scale with the slice, keys are shared;
+        # a 16384 batch runs as 2x8192 with no host round trip)
+        chunk = int(os.environ.get("TFHE_TPU_FUNC_CHUNK", "8192"))
+        if Bp > chunk:
+            a_parts, b_parts = [], []
+            for i in range(0, Bp, chunk):
+                g_i = gQ[i:i + chunk] if per_ct else gQ
+                a_o, b_o = self._func_bootstrap_core(
+                    params, key, path, dk, g_i, dct.a[i:i + chunk],
+                    dct.b[i:i + chunk], int(ct_mod), int(fmod),
+                    per_ct=per_ct, u32_in=True)
+                a_parts.append(a_o)
+                b_parts.append(b_o)
+            return DeviceLWE(jnp.concatenate(a_parts),
+                             jnp.concatenate(b_parts), int(fmod), dct.B)
         a_out, b_out = self._func_bootstrap_core(
             params, key, path, dk, gQ, dct.a, dct.b, int(ct_mod), int(fmod),
             per_ct=per_ct, u32_in=True)

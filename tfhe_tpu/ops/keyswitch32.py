@@ -97,14 +97,20 @@ def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
             else:
                 digs.append(atmp % np.uint32(base_ks))
                 atmp = atmp // np.uint32(base_ks)
-        d = jnp.stack(digs, axis=-1)                          # [B, N, dc]
+        # digits fit u8 whenever baseKS <= 256 (every parameter set): the
+        # [B, N, dc] stack is 1/4 the u32 footprint — at batch 16384 and
+        # production N this array alone was ~1 GB and OOMed the 16 GB HBM
+        ddt = jnp.uint8 if base_ks <= 256 else jnp.uint32
+        d = jnp.stack(digs, axis=-1).astype(ddt)              # [B, N, dc]
 
         # one-hot over the row index (i, v, j) and one MXU matmul per batch
         # chunk (the transient one-hot is B*N*baseKS*dc int8 — chunking keeps
-        # the peak under ~1 GB so 8k+ batches fit in HBM)
-        v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
+        # the peak modest so 16k batches fit in HBM). Power-of-two chunks
+        # divide every (bucketed) batch exactly — no padded copy of d.
+        v_iota = jax.lax.broadcasted_iota(ddt, (1, 1, base_ks, 1), 2)
         row_bytes = N * base_ks * digit_count
-        chunk = max(256, min(B, (1 << 30) // row_bytes))
+        cap = max(256, min(B, (1 << 29) // row_bytes))
+        chunk = 1 << (cap.bit_length() - 1)
 
         def chunk_sums(d_c):
             oh = (d_c[:, :, None, :] == v_iota).astype(jnp.int8)
@@ -113,6 +119,10 @@ def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
 
         if B <= chunk:
             sums = chunk_sums(d)
+        elif B % chunk == 0:
+            sums = jax.lax.map(chunk_sums,
+                               d.reshape(B // chunk, chunk, N, digit_count))
+            sums = sums.reshape(B, L * (n + 1))
         else:
             n_chunks = (B + chunk - 1) // chunk
             pad = n_chunks * chunk - B

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from . import modmath64 as mm64
 
 _LIMB_BITS = 7
-_CHUNK_BYTES = 1 << 30   # peak transient one-hot bytes (tests shrink this)
+_CHUNK_BYTES = 1 << 29   # peak transient one-hot bytes per chunk
 
 
 def n_limbs64(q_ks: int) -> int:
@@ -91,10 +91,17 @@ def build_mkm_switch64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int
         # (chunked exactly like keyswitch32: the transient one-hot is
         # B*N*baseKS*dc int8, which at batch 4096 / STD128-accelerated params
         # would be ~2 GB — chunking keeps the peak under ~1 GB)
-        d = jnp.stack([digit(a1, j) for j in range(digit_count)], axis=-1)
-        v_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, base_ks, 1), 2)
+        # digits fit u8 (baseKS = 32 on every accelerated set): 1/4 the u32
+        # stack footprint — the u32 stack was ~1 GB at batch 16384 and was
+        # the OOM site of the first 16k sign attempt. Power-of-two chunks
+        # divide every bucketed batch — no padded copy of d.
+        ddt = jnp.uint8 if base_ks <= 256 else jnp.uint32
+        d = jnp.stack([digit(a1, j) for j in range(digit_count)],
+                      axis=-1).astype(ddt)
+        v_iota = jax.lax.broadcasted_iota(ddt, (1, 1, base_ks, 1), 2)
         row_bytes = N * base_ks * digit_count
-        chunk = max(8, min(B, _CHUNK_BYTES // row_bytes))
+        cap = max(8, min(B, _CHUNK_BYTES // row_bytes))
+        chunk = 1 << (cap.bit_length() - 1)
 
         def chunk_sums(d_c):
             oh = (d_c[:, :, None, :] == v_iota).astype(jnp.int8)
@@ -103,6 +110,10 @@ def build_mkm_switch64(N: int, Q: int, q_ks: int, base_ks: int, digit_count: int
 
         if B <= chunk:
             sums = chunk_sums(d)
+        elif B % chunk == 0:
+            sums = jax.lax.map(chunk_sums,
+                               d.reshape(B // chunk, chunk, N, digit_count))
+            sums = sums.reshape(B, L * (n + 1))
         else:
             n_chunks = (B + chunk - 1) // chunk
             pad = n_chunks * chunk - B
