@@ -213,7 +213,8 @@ def run_gate(args) -> dict:
 _SHARED: dict = {}   # cross-op key/context reuse (see _run_functional)
 
 
-def _run_functional(name, log_q, arb_func, throw, batch, iters, make_inputs):
+def _run_functional(name, log_q, arb_func, throw, batch, iters, make_inputs,
+                    time_opt=False, bases=None):
     """Shared shell for func/floor/sign/decomp: build ctx, compile+verify,
     then median-of-iters timing. `make_inputs(cc, sk)` returns (run, check).
 
@@ -221,17 +222,22 @@ def _run_functional(name, log_q, arb_func, throw, batch, iters, make_inputs):
     decomp configs (logQ 17/23) resolve to IDENTICAL contexts, so decomp
     reuses sign's context, keys, and device pipelines outright; func
     (logQ 12) shares the same LWE block (n=1305, N=2048, qKS=2^35), so its
-    ~5 GB switching key serves them too (only the gadget-base BSK differs).
-    Keygen is not part of the reported metric — this trims minutes of
-    redundant host work from the bench wall-clock."""
+    switching key serves them too (only the gadget-base BSK differs).
+    All accelerated configs use the seeded (device-generated threefry)
+    switching key — the ~5 GB A block never exists on the host. Sign/decomp
+    run with the timeOptimization multi-baseG map restricted to the bases
+    their schedules actually reach ({2^18, 2^27} at logQ 17/23) — dynamic
+    base switching the reference's GPU refuses (binfhecontext.cpp:352-354).
+    Keygen is not part of the reported metric."""
     from tfhe_tpu import BinFHEContext, ParamSet
 
-    cc = BinFHEContext(seed=20260816)
+    cc = BinFHEContext(seed=20260816, seeded_ksk=True)
     cc.generate_binfhe_context(ParamSet.STD128, arb_func=arb_func,
-                               log_q=log_q, num_digits_to_throw=throw)
+                               log_q=log_q, num_digits_to_throw=throw,
+                               time_optimization=time_opt)
     p, rg = cc.params.lwe, cc.params.rgsw
     full_tag = (p.n, p.N, p.q, p.Q, p.q_ks, p.base_ks, p.digit_count_ks,
-                rg.base_g, rg.digits_g, rg.num_digits_to_throw)
+                rg.base_g, rg.digits_g, rg.num_digits_to_throw, time_opt)
     lwe_tag = (p.n, p.N, p.Q, p.q_ks, p.base_ks, p.digit_count_ks, p.std)
     t0 = time.time()
     if ("ctx", full_tag) in _SHARED:
@@ -245,10 +251,10 @@ def _run_functional(name, log_q, arb_func, throw, batch, iters, make_inputs):
             prev_name, sk, sk_n, ksk = _SHARED[("lwe", lwe_tag)]
             log(f"[{name}] same LWE block as [{prev_name}]: reusing "
                 f"secret + switching keys")
-            cc.bt_key_gen(sk, sk_n=sk_n, ksk=ksk)
+            cc.bt_key_gen(sk, sk_n=sk_n, ksk=ksk, bases=bases)
         else:
             sk = cc.key_gen()
-            cc.bt_key_gen(sk)
+            cc.bt_key_gen(sk, bases=bases)
             _SHARED[("lwe", lwe_tag)] = (name, sk, cc.bt_key.sk_n,
                                          cc.bt_key.ksk)
         t_keygen = time.time() - t0
@@ -315,13 +321,16 @@ def run_floor(args) -> dict:
                            args.func_iters, make)
 
 
-def run_sign(args) -> dict:
+def run_sign(args, batch=None, iters=None, name="sign") -> dict:
+    batch = batch or args.func_batch
+    iters = iters or args.sign_iters
+
     def make(cc, sk):
         Q_enc = 1 << 17
         q = cc.params.lwe.q
         P = cc.get_max_plaintext_space() * (Q_enc // q)
         rng = np.random.default_rng(3)
-        delta = rng.integers(-3, 4, args.func_batch)
+        delta = rng.integers(-3, 4, batch)
         m = (P // 2 + delta) % P
         ct = cc.encrypt(sk, m, "FRESH", P, Q_enc)
         return (lambda: cc.eval_sign(ct),
@@ -329,8 +338,18 @@ def run_sign(args) -> dict:
                     np.asarray(cc.decrypt(sk, out, 2), dtype=np.int64),
                     (delta >= 0).astype(np.int64)))
 
-    return _run_functional("sign", 17, False, 1, args.func_batch,
-                           args.sign_iters, make)
+    r = _run_functional(name, 17, False, 1, batch, iters, make,
+                        time_opt=True, bases=frozenset({1 << 18, 1 << 27}))
+    r["time_optimization"] = True
+    return r
+
+
+def run_sign16k(args) -> dict:
+    """EvalSign at the reference's batch 16384 (time-estimate.cpp:125-156),
+    run as 2x8192 device slices (func_bootstrap_dev auto-chunking bounds
+    peak HBM). Scheduled LAST and only when budget remains — amortization
+    past 4096 measured flat (17.8 ms/ctx @4096 vs 18.0 @16384 on hw)."""
+    return run_sign(args, batch=16384, iters=1, name="sign16k")
 
 
 def run_decomp(args) -> dict:
@@ -359,8 +378,11 @@ def run_decomp(args) -> dict:
 
         return (lambda: cc.eval_decomp(ct)), check
 
-    return _run_functional("decomp", 23, False, 1, args.func_batch,
-                           args.sign_iters, make)
+    r = _run_functional("decomp", 23, False, 1, args.func_batch,
+                        args.sign_iters, make,
+                        time_opt=True, bases=frozenset({1 << 18, 1 << 27}))
+    r["time_optimization"] = True
+    return r
 
 
 def run_ckks(args) -> dict:
@@ -521,9 +543,11 @@ def main():
     ap.add_argument("--sign-iters", type=int, default=2,
                     help="iterations for the multi-round sign/decomp ops")
     # order: headline first, then the VERDICT-target rows (sign/decomp reuse
-    # func's LWE keys), then floor (already beats its target — safest to
-    # budget-sacrifice), then the pke rows
-    ap.add_argument("--ops", default="gate,func,sign,decomp,floor,ckks,ckksboot")
+    # func's LWE keys), then floor, then the pke rows; sign16k is an
+    # opportunistic extra (reference batch semantics) that only runs when
+    # budget remains after every primary row landed
+    ap.add_argument("--ops",
+                    default="gate,func,sign,decomp,floor,ckks,ckksboot,sign16k")
     ap.add_argument("--ckks-batch", type=int, default=8)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TFHE_BENCH_BUDGET", 1380.0)),
@@ -557,17 +581,19 @@ def main():
     ops = ["gate"] if args.smoke else [o for o in args.ops.split(",") if o]
     runners = {"gate": run_gate, "func": run_func, "floor": run_floor,
                "sign": run_sign, "decomp": run_decomp, "ckks": run_ckks,
-               "ckksboot": run_ckksboot}
-    # Cold-cost estimates (s): keygen + compile + iterations, measured on the
-    # v5e worker 2026-08-19 with an empty persistent cache (run1: gate 270,
-    # func 210, floor 126, sign 368, decomp 336, ckks 17, ckksboot 690).
-    # With a warm cache each op is several times cheaper, so finishing early
-    # lets later ops in. The op order puts the cheap rows first so a cold
-    # driver run still captures all five reference time-estimate ops + ckks.
-    est_cold = {"gate": 310.0, "func": 240.0, "floor": 160.0, "sign": 400.0,
-                "decomp": 370.0, "ckks": 50.0, "ckksboot": 740.0}
-    est_warm = {"gate": 160.0, "func": 160.0, "floor": 110.0, "sign": 240.0,
-                "decomp": 270.0, "ckks": 40.0, "ckksboot": 260.0}
+               "ckksboot": run_ckksboot, "sign16k": run_sign16k}
+    # Cost estimates (s): keygen + compile + iterations. Warm numbers
+    # re-measured 2026-08-20 after the device-chain/seeded-KSK work (sign
+    # ~73 s/iter @4096 + keygen ~30 + first ~140; decomp ~95 s/iter; the
+    # worker's compile service swings 2-4x day to day, so cold carries a
+    # wide margin). Finishing early lets later ops in; order puts the
+    # must-have reference rows first.
+    est_cold = {"gate": 310.0, "func": 260.0, "floor": 200.0, "sign": 600.0,
+                "decomp": 420.0, "ckks": 50.0, "ckksboot": 740.0,
+                "sign16k": 700.0}
+    est_warm = {"gate": 160.0, "func": 170.0, "floor": 120.0, "sign": 320.0,
+                "decomp": 310.0, "ckks": 40.0, "ckksboot": 260.0,
+                "sign16k": 640.0}
     cache_warm = _cache_stats("start") > 2
     est = est_warm if cache_warm else est_cold
     for op in ops:

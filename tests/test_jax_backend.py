@@ -338,3 +338,84 @@ def test_rns_decomp_device_chain_bit_exact(ctx_rns):
         assert r.modulus == d.modulus
         np.testing.assert_array_equal(r.a, d.a)
         np.testing.assert_array_equal(np.asarray(r.b), np.asarray(d.b))
+
+
+@pytest.fixture(scope="module")
+def ctx_rns_seeded(request):
+    """ctx_rns configuration with the device-generated (threefry) switching
+    key — the TPU-native keygen fast path for power-of-two qKS."""
+    import os
+    from tfhe_tpu.params import BinFHEParams, LWEParams, RGSWParams
+    from tfhe_tpu.utils.numtheory import ntt_prime, previous_prime
+
+    old = os.environ.get("TFHE_TPU_PALLAS")
+    os.environ["TFHE_TPU_PALLAS"] = "1"
+    request.addfinalizer(lambda: (os.environ.__setitem__("TFHE_TPU_PALLAS", old)
+                                  if old is not None
+                                  else os.environ.pop("TFHE_TPU_PALLAS", None)))
+    N, q = 256, 512
+    q1 = ntt_prime(17, 2 * N)
+    q2 = previous_prime(q1, 2 * N)
+    Q = q1 * q2
+    params = BinFHEParams(
+        lwe=LWEParams(n=8, N=N, q=q, Q=Q, q_ks=1 << 35, std=3.19, base_ks=32),
+        rgsw=RGSWParams(N=N, Q=Q, q=q, base_g=1 << 7, base_r=23,
+                        method=params_mod.Method.GINX, std=3.19))
+    cc = BinFHEContext(seed=4243, seeded_ksk=True)
+    cc.params = params
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    assert isinstance(cc.bt_key.ksk, lwe_pkg.SeededSwitchingKey)
+    return cc, sk
+
+
+from tfhe_tpu import lwe as lwe_pkg  # noqa: E402
+
+
+def test_seeded_ksk_pack_bit_identical(ctx_rns_seeded):
+    """In-graph threefry pack == host pack of the materialized A block."""
+    from tfhe_tpu.ops.keyswitch64 import pack_ksk64, seeded_ksk_pack
+
+    cc, _ = ctx_rns_seeded
+    ksk = cc.bt_key.ksk
+    host = pack_ksk64(np.asarray(ksk.A).reshape(-1, cc.params.lwe.n),
+                      np.asarray(ksk.B, dtype=np.uint64).reshape(-1),
+                      ksk.q_ks)
+    dev = np.asarray(seeded_ksk_pack(ksk))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_seeded_ksk_gate_bit_exact(ctx_rns_seeded):
+    """Full gate bootstrap with the seeded switching key: device pipeline
+    (in-graph key pack) == host oracle (lazy-materialized A), bit for bit —
+    proving the two views of the key are the same key."""
+    cc, sk = ctx_rns_seeded
+    be = JaxBackend()
+    m1 = np.array([0, 1, 1, 0])
+    m2 = np.array([1, 1, 0, 0])
+    ct1 = cc.encrypt(sk, m1)
+    ct2 = cc.encrypt(sk, m2)
+    ref = scheme.eval_bin_gate(RefBackend(), cc.params, Gate.NAND, cc.bt_key,
+                               ct1, ct2)
+    dev = scheme.eval_bin_gate(be, cc.params, Gate.NAND, cc.bt_key, ct1, ct2)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))
+    np.testing.assert_array_equal(
+        np.asarray(cc.decrypt(sk, dev), dtype=np.int64), 1 - (m1 & m2))
+
+
+def test_seeded_ksk_sign_chain(ctx_rns_seeded):
+    """EvalSign device chain on a seeded key == host oracle bit for bit."""
+    cc, sk = ctx_rns_seeded
+    be = JaxBackend()
+    q, beta = cc.params.lwe.q, cc.params.beta
+    Q_enc = 1 << 11
+    P = cc.params.max_plaintext_space * (Q_enc // q)
+    delta = np.array([-2, -1, 0, 1])
+    m = (P // 2 + delta) % P
+    ct = cc.encrypt(sk, m, "FRESH", P, Q_enc)
+    keys = {cc.params.rgsw.base_g: cc.bt_key}
+    ref = scheme.eval_sign(RefBackend(), cc.params, keys, ct, beta)
+    dev = scheme.eval_sign(be, cc.params, keys, ct, beta)
+    np.testing.assert_array_equal(ref.a, dev.a)
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(dev.b))

@@ -26,9 +26,15 @@ from .utils.rng import BinFHERng
 
 
 class BinFHEContext:
-    def __init__(self, seed: int | None = None):
+    def __init__(self, seed: int | None = None,
+                 seeded_ksk: bool | None = None):
+        """`seeded_ksk` opts the accelerated power-of-two-qKS sets into the
+        device-generated switching key (lwe.SeededSwitchingKey: threefry A
+        block regenerated+packed in-graph — ~140 s of host keygen becomes
+        ~2 s of device work). None = decide from TFHE_TPU_SEEDED_KSK."""
         self.params: BinFHEParams | None = None
         self.rng = BinFHERng(seed)
+        self.seeded_ksk = seeded_ksk
         self._bt_key: scheme.BTKey | None = None
         self._bt_key_map: dict[int, scheme.BTKey] = {}
         self._backend: scheme.Backend = RefBackend()
@@ -78,27 +84,39 @@ class BinFHEContext:
 
     def bt_key_gen(self, sk: lwe.LWEPrivateKey,
                    sk_n: lwe.LWEPrivateKey | None = None,
-                   ksk: lwe.LWESwitchingKey | None = None) -> None:
+                   ksk: lwe.LWESwitchingKey | None = None,
+                   bases: set[int] | None = None) -> None:
         """BTKeyGen (binfhecontext.cpp:224-246); with time_optimization, one key
         per gadget base in the sign-eval map — sharing one ring secret and one
         switching key across the map (the KSK is base-independent).
 
         `sk_n`/`ksk` allow reusing another context's ring secret + switching
         key when the LWE parameters match (all accelerated logQ configs share
-        n=1305, N=2048, qKS=2^35 — one ~5 GB switching key serves them all)."""
+        n=1305, N=2048, qKS=2^35 — one ~5 GB switching key serves them all).
+
+        `bases` restricts the time_optimization map to the listed gadget
+        bases (plus the default): EvalSign/EvalDecomp schedules at logQ <= 26
+        statically never reach the 2^14 base, whose RGSW keygen is the most
+        expensive of the map — the reference always generates all three
+        (binfhecontext.cpp:229-237); the dynamic switch simply keeps the
+        current base when a target is absent."""
         rgsw_p = self.params.rgsw
         temp = rgsw_p.base_g
         if self._time_optimization:
             for base in sorted(rgsw_p.g_power_map):
+                if bases is not None and base != temp and base not in bases:
+                    continue
                 rgsw_p.change_base_g(base)
-                key = scheme.key_gen(self.rng, self.params, sk, sk_n, ksk)
+                key = scheme.key_gen(self.rng, self.params, sk, sk_n, ksk,
+                                     seeded_ksk=self.seeded_ksk)
                 sk_n, ksk = key.sk_n, key.ksk
                 self._bt_key_map[base] = key
             rgsw_p.change_base_g(temp)
         if self._bt_key_map:
             self._bt_key = self._bt_key_map[temp]
         else:
-            self._bt_key = scheme.key_gen(self.rng, self.params, sk, sk_n, ksk)
+            self._bt_key = scheme.key_gen(self.rng, self.params, sk, sk_n, ksk,
+                                          seeded_ksk=self.seeded_ksk)
             self._bt_key_map[temp] = self._bt_key
 
     @property

@@ -59,6 +59,186 @@ class LWESwitchingKey:
     B: np.ndarray
 
 
+class SeededSwitchingKey:
+    """Key-switching key in seeded form (TPU-native fast path for the
+    accelerated power-of-two qKS sets): the uniform A block — ~5 GB at
+    production sizes — is never materialized on the build host. It is
+    regenerated from a counter-based PRNG (jax threefry, deterministic
+    across CPU/TPU backends) wherever it is needed: the device backend
+    regenerates and packs it in-graph (ops/keyswitch64.seeded_ksk_pack),
+    and the host oracle / serialization materialize it lazily through the
+    `.A` property. Only B ([N, baseKS, dc] u64, a few MB) is stored.
+
+    Replaces ~140 s of single-core host work per accelerated-set keygen
+    (uniform draw + ternary inner product + 7-bit limb packing) with ~2 s
+    of device time. The reference has no analogue — its KSkey is always
+    CPU-built and uploaded (bootstrapping.cu:961-975)."""
+
+    def __init__(self, seed: int, N: int, base_ks: int, digit_count: int,
+                 n: int, q_ks: int, B: np.ndarray):
+        if q_ks & (q_ks - 1):
+            raise ValueError("SeededSwitchingKey requires power-of-two qKS")
+        self.seed = int(seed)
+        self.N, self.base_ks, self.digit_count = N, base_ks, digit_count
+        self.n, self.q_ks = n, q_ks
+        self.B = B
+        self._A: np.ndarray | None = None
+
+    @property
+    def A(self) -> np.ndarray:
+        """Materialized A [N, baseKS, dc, n] u64 (host, lazy, cached) —
+        identical bits to what the device pack regenerates (same chunked
+        threefry stream)."""
+        if self._A is None:
+            lo, hi = _seeded_ksk_bits_host(self.seed, self.N * self.base_ks
+                                           * self.digit_count, self.n,
+                                           self.q_ks)
+            a = lo.astype(np.uint64)
+            if hi is not None:
+                a |= hi.astype(np.uint64) << np.uint64(32)
+            self._A = a.reshape(self.N, self.base_ks, self.digit_count,
+                                self.n)
+        return self._A
+
+
+# Canonical row-chunking of the seeded-KSK bit stream. Each chunk c derives
+# its own threefry key fold_in(PRNGKey(seed), c) and always generates
+# KSK_ROW_CHUNK full rows (consumers slice a ragged tail). Chunking is part
+# of the STREAM DEFINITION — device pack, device inner product, and host
+# materialization must all walk it identically — and exists because the TPU
+# backend compiler unrolls the int8 limb relayout over row tiles: compile
+# time and executable size scale ~linearly with rows (457k rows ≈ a >20 min
+# compile; 57k rows ≈ 2.5 min once, cached thereafter).
+KSK_ROW_CHUNK = 57344
+
+
+def _seeded_ksk_bits_host(seed: int, R: int, n: int, q_ks: int):
+    """Host mirror of the device bit stream: threefry is counter-based and
+    platform-deterministic, so CPU regeneration matches the TPU pack bit for
+    bit."""
+    import jax
+
+    cpus = jax.devices("cpu")
+    parts = []
+    with jax.default_device(cpus[0]):
+        key = jax.random.PRNGKey(np.uint32(seed))
+        for c in range((R + KSK_ROW_CHUNK - 1) // KSK_ROW_CHUNK):
+            lo, hi = _seeded_ksk_bits_chunk(jax.random.fold_in(key, c),
+                                            n, q_ks)
+            parts.append((np.asarray(lo),
+                          None if hi is None else np.asarray(hi)))
+    lo = np.concatenate([p[0] for p in parts])[:R]
+    hi = (None if parts[0][1] is None
+          else np.concatenate([p[1] for p in parts])[:R])
+    return lo, hi
+
+
+def _seeded_ksk_bits_chunk(key_c, n: int, q_ks: int):
+    """(lo [KSK_ROW_CHUNK, n] u32, hi | None) uniform bits of A mod qKS =
+    2^ks_bits for ONE chunk, from its folded key. `key_c` MUST be a runtime
+    value — a constant key lets XLA constant-fold the multi-GB bit array on
+    the compile server (observed as a >25 min compile hang)."""
+    import jax
+    import jax.numpy as jnp
+
+    ks_bits = q_ks.bit_length() - 1
+    if ks_bits <= 32:
+        lo = jax.random.bits(key_c, (KSK_ROW_CHUNK, n), jnp.uint32)
+        if ks_bits < 32:
+            lo = lo & np.uint32(q_ks - 1)
+        return lo, None
+    both = jax.random.bits(key_c, (2, KSK_ROW_CHUNK, n), jnp.uint32)
+    hi = both[1] & np.uint32((1 << (ks_bits - 32)) - 1)
+    return both[0], hi
+
+
+def _ksk_limb(lo, hi, l: int, ks_bits: int):
+    """l-th 7-bit limb of the (lo, hi) bit planes, u32."""
+    import jax.numpy as jnp  # noqa: F401
+
+    sh = 7 * l
+    if sh + 7 <= 32 or hi is None:
+        return (lo >> np.uint32(sh)) & np.uint32(127)
+    if sh >= 32:
+        return (hi >> np.uint32(sh - 32)) & np.uint32(127)
+    return ((lo >> np.uint32(sh)) | (hi << np.uint32(32 - sh))) & np.uint32(127)
+
+
+_LIMB_DOTS_CACHE: dict = {}
+
+
+def _build_limb_dots(n: int, q_ks: int, n_limb: int):
+    """Per-chunk jitted limb inner products: [KSK_ROW_CHUNK, n_limb] f32."""
+    import jax
+    import jax.numpy as jnp
+
+    tag = (n, q_ks, n_limb)
+    if tag in _LIMB_DOTS_CACHE:
+        return _LIMB_DOTS_CACHE[tag]
+    ks_bits = q_ks.bit_length() - 1
+
+    @jax.jit
+    def limb_dots(key_c, s_f32):
+        lo, hi = _seeded_ksk_bits_chunk(key_c, n, q_ks)
+        dots = [jnp.dot(_ksk_limb(lo, hi, l, ks_bits).astype(jnp.float32),
+                        s_f32) for l in range(n_limb)]
+        return jnp.stack(dots, axis=1)
+
+    _LIMB_DOTS_CACHE[tag] = limb_dots
+    return limb_dots
+
+
+def key_switch_gen_seeded(rng: BinFHERng, params: LWEParams,
+                          sk: LWEPrivateKey,
+                          sk_n: LWEPrivateKey) -> SeededSwitchingKey:
+    """key_switch_gen with a device-resident A block (see
+    SeededSwitchingKey). The message/noise layout is identical to
+    key_switch_gen (lwe-pke.cpp:218-295); only the uniform source differs
+    (threefry instead of the context engine — equally uniform, and the seed
+    is drawn FROM the context engine so determinism is preserved)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, N = params.n, params.N
+    q_ks, base_ks = params.q_ks, params.base_ks
+    digit_count = params.digit_count_ks
+    if q_ks & (q_ks - 1):
+        raise ValueError("seeded key switch requires power-of-two qKS")
+    R = N * base_ks * digit_count
+    seed = int(rng.discrete_uniform(1, 1 << 31)[0])
+
+    # device: bits + exact ternary inner product via 7-bit-limb f32 matmuls
+    # (each |dot| <= n*127 < 2^24, exact in f32; recombined exactly on host)
+    ks_bits = q_ks.bit_length() - 1
+    n_limb = (ks_bits + 6) // 7
+    fn = _build_limb_dots(n, q_ks, n_limb)
+    key = jax.random.PRNGKey(np.uint32(seed))
+    s_f32 = jnp.asarray(sk.s.astype(np.float32))
+    parts = [np.asarray(fn(jax.random.fold_in(key, c), s_f32))
+             for c in range((R + KSK_ROW_CHUNK - 1) // KSK_ROW_CHUNK)]
+    dots = np.concatenate(parts)[:R]
+    inner = np.zeros(R, dtype=np.int64)
+    for l in range(n_limb):
+        inner += dots[:, l].astype(np.int64) << (7 * l)
+    inner %= np.int64(q_ks)
+
+    # messages + noise: identical to key_switch_gen
+    digits = np.array([pow(base_ks, k) for k in range(digit_count)],
+                      dtype=np.uint64)
+    j_idx = np.arange(base_ks, dtype=np.uint64)
+    jk = (j_idx[:, None] * digits[None, :]) % np.uint64(q_ks)
+    sv_n = sk_n.s
+    msg = np.where(sv_n[:, None, None] == 1, jk[None],
+                   np.where(sv_n[:, None, None] == -1,
+                            (np.uint64(q_ks) - jk[None]) % np.uint64(q_ks), 0))
+    e = rng.discrete_gaussian_signed(R, params.std).reshape(
+        N, base_ks, digit_count).astype(np.int64)
+    B = (msg.astype(np.int64) + e
+         + inner.reshape(N, base_ks, digit_count)) % np.int64(q_ks)
+    return SeededSwitchingKey(seed, N, base_ks, digit_count, n, q_ks,
+                              np.uint64(B))
+
+
 def key_gen(rng: BinFHERng, size: int, modulus: int) -> LWEPrivateKey:
     """Ternary uniform secret (lwe-pke.cpp:48-51)."""
     return LWEPrivateKey(rng.ternary_uniform_signed(size), modulus)

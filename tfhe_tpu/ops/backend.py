@@ -553,16 +553,23 @@ class JaxBackend:
         contexts that share one LWESwitchingKey (multi-baseG maps, the
         accelerated logQ configs — see scheme.key_gen) share a single
         device-resident packed table instead of re-packing ~600 MB each
-        and holding duplicate copies in HBM."""
+        and holding duplicate copies in HBM. SeededSwitchingKeys are
+        regenerated and packed entirely in-graph (the A block never
+        touches the host)."""
         tag = (pack_fn.__name__, q_ks, id(self.mesh))
         cache = getattr(ksk, "_device_pack", None)
         if cache is None:
             cache = {}
             object.__setattr__(ksk, "_device_pack", cache)
         if tag not in cache:
-            cache[tag] = self._replicate(pack_fn(
-                np.asarray(ksk.A).reshape(-1, n),
-                np.asarray(ksk.B, dtype=np.uint64).reshape(-1), q_ks))
+            if (isinstance(ksk, lwe.SeededSwitchingKey)
+                    and pack_fn is pack_ksk64 and self.mesh is None):
+                from .keyswitch64 import seeded_ksk_pack
+                cache[tag] = seeded_ksk_pack(ksk)
+            else:
+                cache[tag] = self._replicate(pack_fn(
+                    np.asarray(ksk.A).reshape(-1, n),
+                    np.asarray(ksk.B, dtype=np.uint64).reshape(-1), q_ks))
         return cache[tag]
 
     # -- setup -------------------------------------------------------------

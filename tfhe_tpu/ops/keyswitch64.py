@@ -36,6 +36,58 @@ def n_limbs64(q_ks: int) -> int:
     return (int(q_ks - 1).bit_length() + _LIMB_BITS - 1) // _LIMB_BITS
 
 
+def seeded_ksk_pack(ksk) -> "jax.Array":
+    """Device-side pack of a SeededSwitchingKey: regenerate the A bits from
+    threefry IN-GRAPH and emit the int8 limb table directly — the ~5 GB A
+    block never exists on the host and never crosses the tunnel (only the
+    few-MB B limbs ride up). Bit-identical to
+    pack_ksk64(ksk.A.reshape(-1, n), ksk.B, q_ks)."""
+    from .. import lwe as lwe_mod
+
+    n, q_ks = ksk.n, ksk.q_ks
+    R = ksk.N * ksk.base_ks * ksk.digit_count
+    L = n_limbs64(q_ks)
+    ks_bits = q_ks.bit_length() - 1
+    b_flat = np.asarray(ksk.B, dtype=np.uint64).reshape(-1)
+    b_limbs = np.stack(
+        [((b_flat >> np.uint64(7 * l)) & np.uint64(127)).astype(np.int8)
+         for l in range(L)], axis=1).reshape(R, L, 1)
+    from .. import lwe as lwe_mod
+
+    pack = _build_seeded_pack(n, q_ks, L, ks_bits)
+    key = jax.random.PRNGKey(np.uint32(ksk.seed))
+    C = lwe_mod.KSK_ROW_CHUNK
+    parts = []
+    for c in range((R + C - 1) // C):
+        rows = min(C, R - c * C)
+        bl_c = np.zeros((C, L, 1), np.int8)
+        bl_c[:rows] = b_limbs[c * C:c * C + rows]
+        parts.append(pack(jax.random.fold_in(key, c), jnp.asarray(bl_c)))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[:R] if out.shape[0] != R else out
+
+
+@functools.lru_cache(maxsize=None)
+def _build_seeded_pack(n: int, q_ks: int, L: int, ks_bits: int):
+    """Per-chunk in-graph pack (KSK_ROW_CHUNK rows): full-key graphs make
+    the TPU backend compiler unroll the int8 relayout over row tiles
+    (compile time ~linear in rows — 457k rows never finished; one 57k-row
+    chunk compiles in ~2.5 min once and persists in the compile cache)."""
+    from .. import lwe as lwe_mod
+
+    @jax.jit
+    def pack(key_c, b_l):
+        lo, hi = lwe_mod._seeded_ksk_bits_chunk(key_c, n, q_ks)
+        R_c = lo.shape[0]
+        cols = [lwe_mod._ksk_limb(lo, hi, l, ks_bits).astype(jnp.int8)
+                for l in range(L)]
+        limbs = jnp.stack(cols, axis=1)                      # [R_c, L, n]
+        return jnp.concatenate([limbs, b_l],
+                               axis=2).reshape(R_c, L * (n + 1))
+
+    return pack
+
+
 def pack_ksk64(ksk_a: np.ndarray, ksk_b: np.ndarray, q_ks: int) -> np.ndarray:
     """Flat switching key (A [R, n], B [R], uint64, row = (i*baseKS+v)*dc+j)
     -> int8 [R, L*(n+1)] of 7-bit limbs, limb-major columns (s8 x s8 -> s32

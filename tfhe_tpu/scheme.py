@@ -57,7 +57,8 @@ class Backend(Protocol):
 
 def key_gen(rng: BinFHERng, params: BinFHEParams, sk: lwe.LWEPrivateKey,
             sk_n: lwe.LWEPrivateKey | None = None,
-            ksk: lwe.LWESwitchingKey | None = None) -> BTKey:
+            ksk: lwe.LWESwitchingKey | None = None,
+            seeded_ksk: bool | None = None) -> BTKey:
     """Bootstrapping-key generation (binfhe-base-scheme.cpp:39-55).
 
     `sk_n`/`ksk` let a caller reuse an existing ring secret and its
@@ -65,12 +66,25 @@ def key_gen(rng: BinFHERng, params: BinFHEParams, sk: lwe.LWEPrivateKey,
     parameters, not on the gadget base, so one KSK can serve every BTKey of a
     multi-baseG map — and every *context* that shares (n, N, Q, qKS, baseKS)
     (the accelerated logQ 12..29 sets all do). The switching-key block is
-    ~5 GB at production sizes; regenerating it per base is pure waste."""
+    ~5 GB at production sizes; regenerating it per base is pure waste.
+
+    `seeded_ksk` (None = env TFHE_TPU_SEEDED_KSK) selects the device-
+    generated threefry switching key for the big power-of-two qKS sets."""
+    import os
+
     p = params.lwe
     if sk_n is None:
         sk_n = lwe.key_gen(rng, p.N, p.Q)
     if ksk is None:
-        ksk = lwe.key_switch_gen(rng, p, sk, sk_n)
+        use_seeded = seeded_ksk
+        if use_seeded is None:
+            use_seeded = os.environ.get(
+                "TFHE_TPU_SEEDED_KSK", "") not in ("", "0")
+        if (use_seeded and p.q_ks & (p.q_ks - 1) == 0
+                and p.q_ks > (1 << 32)):
+            ksk = lwe.key_switch_gen_seeded(rng, p, sk, sk_n)
+        else:
+            ksk = lwe.key_switch_gen(rng, p, sk, sk_n)
     sk_n_coeff = modmath.asarray(sk_n.s, p.Q)
     sk_n_ntt = ntt.forward(sk_n_coeff, p.Q)
     if params.rgsw.method == Method.GINX:
@@ -502,9 +516,12 @@ def _mod_schedule(mod: int, q: int, beta: int) -> tuple[int, ...]:
 
 
 def _dyn_base_switch(rgsw_p, keys: dict, mod: int, cur_key):
-    """Dynamic gadget-base switch for 3-entry timeOptimization key maps
-    (binfhe-base-scheme.cpp:355-366)."""
-    if len(keys) != 3:
+    """Dynamic gadget-base switch for timeOptimization key maps
+    (binfhe-base-scheme.cpp:355-366; the reference tests EKs.size()==3 —
+    here any multi-entry map participates so that schedule-restricted maps
+    (context.bt_key_gen `bases`) behave identically where their bases
+    coincide, and a missing target base keeps the current key)."""
+    if len(keys) < 2:
         return cur_key
     bin_log = int(math.ceil(math.log2(mod)))
     base = 0
@@ -512,7 +529,7 @@ def _dyn_base_switch(rgsw_p, keys: dict, mod: int, cur_key):
         base = 1 << 27
     elif bin_log <= 26:
         base = 1 << 18
-    if base != 0:
+    if base != 0 and base in keys:
         rgsw_p.change_base_g(base)
         return keys[base]
     return cur_key
