@@ -294,12 +294,23 @@ def encrypt(rng: BinFHERng, params: LWEParams, sk: LWEPrivateKey, m, p: int = 4,
     return LWECiphertext(a, b, mod)
 
 
+def _reduced_a(ct: LWECiphertext) -> np.ndarray:
+    """ct.a reduced mod ct.modulus. Raw retags (EvalDecomp digits, the
+    EvalFunc modulus raise) carry values larger than the tag; reducing is a
+    congruence no-op for decryption but REQUIRED for _inner_ternary's
+    magnitude-bounded fast paths (an f32 inner product over unreduced 2^23
+    values silently loses ~7 bits — enough to flip borderline digits)."""
+    mod = np.uint64(ct.modulus)
+    a = np.asarray(ct.a, dtype=np.uint64)
+    return a % mod
+
+
 def decrypt(params: LWEParams, sk: LWEPrivateKey, ct: LWECiphertext, p: int = 4):
     """round((p/mod) * (b - <a,s>)) via r += mod/(2p); result = p*r // mod
     (lwe-pke.cpp:91-134)."""
     mod = ct.modulus
-    inner = _inner_ternary(ct.a, sk.s, mod)
-    r = (np.uint64(ct.b) + np.uint64(mod) - inner) % np.uint64(mod)
+    inner = _inner_ternary(_reduced_a(ct), sk.s, mod)
+    r = (np.uint64(ct.b) % np.uint64(mod) + np.uint64(mod) - inner) % np.uint64(mod)
     r = (r + np.uint64(mod // (p * 2))) % np.uint64(mod)
     return (np.uint64(p) * r) // np.uint64(mod)
 
@@ -307,8 +318,8 @@ def decrypt(params: LWEParams, sk: LWEPrivateKey, ct: LWECiphertext, p: int = 4)
 def decrypt_without_scale(params: LWEParams, sk: LWEPrivateKey, ct: LWECiphertext, p: int = 4):
     """b - <a,s> without the plaintext rescale (lwe-pke.cpp:136-173)."""
     mod = ct.modulus
-    inner = _inner_ternary(ct.a, sk.s, mod)
-    return (np.uint64(ct.b) + np.uint64(mod) - inner) % np.uint64(mod)
+    inner = _inner_ternary(_reduced_a(ct), sk.s, mod)
+    return (np.uint64(ct.b) % np.uint64(mod) + np.uint64(mod) - inner) % np.uint64(mod)
 
 
 # ---- homomorphic helpers (lwe-pke.cpp:175-201) -----------------------------

@@ -109,7 +109,9 @@ def _keyswitch_core(N: int, q_ks: int, base_ks: int, digit_count: int,
         # divide every (bucketed) batch exactly — no padded copy of d.
         v_iota = jax.lax.broadcasted_iota(ddt, (1, 1, base_ks, 1), 2)
         row_bytes = N * base_ks * digit_count
-        cap = max(256, min(B, (1 << 29) // row_bytes))
+        # 1 GB one-hot cap (the u32 sets' keys are small; only the 64-bit
+        # accelerated tail needs the tighter 2^29 cap for batch-16k HBM)
+        cap = max(256, min(B, (1 << 30) // row_bytes))
         chunk = 1 << (cap.bit_length() - 1)
 
         def chunk_sums(d_c):

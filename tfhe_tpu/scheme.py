@@ -542,6 +542,9 @@ def _chain_mods_ok(backend: Backend, params: BinFHEParams, keys,
     within u16, and every chain modulus a power of two (the in-graph
     RoundqQ is then an exact shift — scheme moduli mod/q/2beta are all
     powers of two in the reference's accelerated configurations)."""
+    import os
+    if os.environ.get("TFHE_TPU_CHAIN", "") == "0":
+        return False
     cs = getattr(backend, "chain_supported", None)
     if cs is None:
         return False
