@@ -547,7 +547,7 @@ def main():
     # opportunistic extra (reference batch semantics) that only runs when
     # budget remains after every primary row landed
     ap.add_argument("--ops",
-                    default="gate,func,sign,decomp,floor,ckks,ckksboot,sign16k")
+                    default="gate,func,ckks,floor,sign,decomp,ckksboot,sign16k")
     ap.add_argument("--ckks-batch", type=int, default=8)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TFHE_BENCH_BUDGET", 1380.0)),
@@ -582,18 +582,21 @@ def main():
     runners = {"gate": run_gate, "func": run_func, "floor": run_floor,
                "sign": run_sign, "decomp": run_decomp, "ckks": run_ckks,
                "ckksboot": run_ckksboot, "sign16k": run_sign16k}
-    # Cost estimates (s): keygen + compile + iterations. Warm numbers
-    # re-measured 2026-08-20 after the device-chain/seeded-KSK work (sign
-    # ~73 s/iter @4096 + keygen ~30 + first ~140; decomp ~95 s/iter; the
-    # worker's compile service swings 2-4x day to day, so cold carries a
-    # wide margin). Finishing early lets later ops in; order puts the
-    # must-have reference rows first.
-    est_cold = {"gate": 310.0, "func": 260.0, "floor": 200.0, "sign": 600.0,
-                "decomp": 420.0, "ckks": 50.0, "ckksboot": 740.0,
+    # Cost estimates (s): keygen + compile + iterations, re-measured
+    # 2026-08-20 over three back-to-back runs after the device-chain /
+    # seeded-KSK / timeOptimization work (steady-state run: gate 135,
+    # func 135, sign 260, decomp 290, floor 75, ckks 15, ckksboot 175 —
+    # all seven primaries ~1150 s warm; the worker's compile service
+    # swings 2-4x day to day, so cold carries a wide margin). Cheap rows
+    # run first so a tight budget still lands the full seven-row record;
+    # sign16k is opportunistic (reference batch semantics, flat
+    # amortization — 17.8 ms/ctx at every batch 4096..16384).
+    est_cold = {"gate": 310.0, "func": 300.0, "floor": 220.0, "sign": 620.0,
+                "decomp": 700.0, "ckks": 60.0, "ckksboot": 950.0,
                 "sign16k": 700.0}
-    est_warm = {"gate": 160.0, "func": 170.0, "floor": 120.0, "sign": 320.0,
-                "decomp": 310.0, "ckks": 40.0, "ckksboot": 260.0,
-                "sign16k": 640.0}
+    est_warm = {"gate": 150.0, "func": 150.0, "floor": 95.0, "sign": 280.0,
+                "decomp": 310.0, "ckks": 25.0, "ckksboot": 210.0,
+                "sign16k": 620.0}
     cache_warm = _cache_stats("start") > 2
     est = est_warm if cache_warm else est_cold
     for op in ops:
