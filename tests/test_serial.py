@@ -150,3 +150,33 @@ def test_ckks_ciphertext_roundtrip(tmp_path):
     got = actx.decrypt(sk, back).real
     want = actx.decrypt(sk, ct).real
     np.testing.assert_array_equal(got, want)
+
+
+def test_seeded_ksk_round_trip(tmp_path):
+    """Seeded switching keys serialize as (seed, B); the regenerated key
+    decrypts/evaluates identically after load."""
+    import numpy as np
+    from tfhe_tpu import BinFHEContext
+    from tfhe_tpu import lwe as lwe_mod
+    from tfhe_tpu.params import BinFHEParams, LWEParams, Method, RGSWParams
+    from tfhe_tpu.utils import serial
+    from tfhe_tpu.utils.numtheory import ntt_prime
+
+    N, q = 256, 512
+    Q = ntt_prime(20, 2 * N)
+    cc = BinFHEContext(seed=91, seeded_ksk=True)
+    cc.params = BinFHEParams(
+        lwe=LWEParams(n=8, N=N, q=q, Q=Q, q_ks=1 << 35, std=3.19, base_ks=32),
+        rgsw=RGSWParams(N=N, Q=Q, q=q, base_g=1 << 5, base_r=23,
+                        method=Method.GINX, std=3.19))
+    sk = cc.key_gen()
+    cc.bt_key_gen(sk)
+    assert isinstance(cc.bt_key.ksk, lwe_mod.SeededSwitchingKey)
+    path = str(tmp_path / "ctx_seeded.npz")
+    serial.save_context(path, cc.params, bt_key=cc.bt_key)
+    params2, keys2 = serial.load_context(path)
+    k2 = keys2[cc.bt_key.base_g].ksk
+    assert isinstance(k2, lwe_mod.SeededSwitchingKey)
+    np.testing.assert_array_equal(np.asarray(cc.bt_key.ksk.B),
+                                  np.asarray(k2.B))
+    np.testing.assert_array_equal(cc.bt_key.ksk.A, k2.A)

@@ -919,7 +919,12 @@ class JaxBackend:
         combination (ct1+ct2, or 2*(ct1-ct2) when `neg2`) runs in-graph, so
         the host never touches a full-batch u64 array (the combination alone
         costs >10% of an iteration on a single-core host). Outputs stay u16
-        (mod fmod = q <= 2^16)."""
+        (mod fmod = q <= 2^16).
+
+        Large single-chip batches run as sequential chunk dispatches: jax
+        dispatch is async, so chunk k+1's host prep/upload and chunk k's
+        result pull overlap chunk k's kernel — the ~0.9 s/iter of host+
+        transfer time at batch 16384 hides behind the 8.5 s rotation."""
         fp = self._gate_fast_path(params, key, gate, int(ct1.modulus))
         if fp is None or int(fmod) != int(ct1.modulus):
             return None
@@ -927,6 +932,31 @@ class JaxBackend:
         p = params.lwe
         B = ct1.a.shape[0]
         Bp = self._bucket(B)
+        chunk = int(os.environ.get("TFHE_TPU_GATE_CHUNK", "4096"))
+        if self.mesh is None and Bp > chunk and Bp % chunk == 0:
+            fn = pipe_pairs[bool(neg2)]
+
+            def chunk_u16(x, i0):
+                out = np.zeros((chunk,) + np.shape(x)[1:], dtype=np.uint16)
+                rows = max(0, min(chunk, B - i0))
+                if rows:
+                    src = np.asarray(x)[i0:i0 + rows]
+                    out[:rows] = src if src.dtype == np.uint16 \
+                        else src.astype(np.uint16)
+                return out
+
+            parts = []
+            for i in range(0, Bp, chunk):
+                # per-chunk prep AFTER the previous dispatch: the cast/pad
+                # and upload of chunk k+1 ride under chunk k's kernel
+                parts.append(fn(chunk_u16(ct1.a, i), chunk_u16(ct1.b, i),
+                                chunk_u16(ct2.a, i), chunk_u16(ct2.b, i),
+                                dk["bsk_pack"], dk["ksk_bf"]))
+            a_out = np.concatenate([np.asarray(jax.device_get(o[0]))
+                                    for o in parts])
+            b_out = np.concatenate([np.asarray(jax.device_get(o[1]))
+                                    for o in parts])
+            return lwe.LWECiphertext(a_out[:B], b_out[:B], int(fmod))
         fn = self._shard_pallas(pipe_pairs[bool(neg2)],
                                 n_batch_args=4, n_out=2)
         a_out, b_out = fn(self._shard_batch(self._pad_u16(ct1.a, Bp, p.q)),

@@ -54,10 +54,20 @@ def save_context(path: str, params: BinFHEParams,
         key_items = [(bt_key.base_g, bt_key)]
     for base_g, key in key_items:
         tag = f"k{base_g}"
-        meta["keys"].append({"base_g": base_g, "tag": tag})
+        entry = {"base_g": base_g, "tag": tag}
         arrays[f"{tag}_bsk"] = np.asarray(key.bsk_coeff, dtype=np.uint64)
-        arrays[f"{tag}_ksk_a"] = np.asarray(key.ksk.A, dtype=np.uint64)
+        if isinstance(key.ksk, lwe.SeededSwitchingKey):
+            # seeded keys serialize as (seed, B) — the multi-GB A block is
+            # a deterministic threefry stream, regenerated on load
+            k = key.ksk
+            entry["ksk_seeded"] = {"seed": k.seed, "N": k.N,
+                                   "base_ks": k.base_ks,
+                                   "digit_count": k.digit_count,
+                                   "n": k.n, "q_ks": k.q_ks}
+        else:
+            arrays[f"{tag}_ksk_a"] = np.asarray(key.ksk.A, dtype=np.uint64)
         arrays[f"{tag}_ksk_b"] = np.asarray(key.ksk.B, dtype=np.uint64)
+        meta["keys"].append(entry)
     np.savez_compressed(path, meta=np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
@@ -69,10 +79,16 @@ def load_context(path: str) -> tuple[BinFHEParams, dict[int, BTKey]]:
     keys: dict[int, BTKey] = {}
     for entry in meta["keys"]:
         tag = entry["tag"]
+        if "ksk_seeded" in entry:
+            s = entry["ksk_seeded"]
+            ksk = lwe.SeededSwitchingKey(
+                s["seed"], s["N"], s["base_ks"], s["digit_count"],
+                s["n"], s["q_ks"], data[f"{tag}_ksk_b"])
+        else:
+            ksk = lwe.LWESwitchingKey(A=data[f"{tag}_ksk_a"],
+                                      B=data[f"{tag}_ksk_b"])
         keys[entry["base_g"]] = BTKey(
-            bsk_coeff=data[f"{tag}_bsk"],
-            ksk=lwe.LWESwitchingKey(A=data[f"{tag}_ksk_a"], B=data[f"{tag}_ksk_b"]),
-            base_g=entry["base_g"])
+            bsk_coeff=data[f"{tag}_bsk"], ksk=ksk, base_g=entry["base_g"])
     return params, keys
 
 
