@@ -570,6 +570,16 @@ def main():
     from tfhe_tpu.utils.jaxcfg import enable_compile_cache
     enable_compile_cache()
     import jax
+    # Honor an explicit JAX_PLATFORMS=cpu even where the TPU plugin rewrites
+    # jax_platforms to "axon,cpu" (which puts the real chip first): the CI
+    # smoke run targets the virtual CPU mesh, not the tunnel.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if (want.split(",")[0] == "cpu"
+            and (jax.config.jax_platforms or "").split(",")[0] != "cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     log(f"devices: {jax.devices()}")
     # platform_version is hashed into every XLA cache key (cache_key.py
     # _hash_platform); log it to correlate cache misses with remote-worker
